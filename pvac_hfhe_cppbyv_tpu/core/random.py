@@ -1,0 +1,17 @@
+"""OS CSPRNG (reference: include/pvac/core/random.hpp:40-110).
+
+Uses os.urandom (getrandom under the hood on Linux).  Little-endian u64
+helpers mirror load_le64/store_le64 (random.hpp:26-38).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+
+def csprng_bytes(n: int) -> bytes:
+    return os.urandom(n)
+
+
+def csprng_u64() -> int:
+    return struct.unpack("<Q", os.urandom(8))[0]

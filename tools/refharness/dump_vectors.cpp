@@ -103,7 +103,7 @@ int main() {
         for (int i = 0; i < 16; i++) ws.push_back(x.take_u64());
         std::vector<uint64_t> bs;
         for (int i = 0; i < 8; i++) bs.push_back(x.bounded(337));
-        emit("\"xof_shake\": {\"label\":\"pvac.test.label\",\"seed\":[\"1\",\"2\",\"16045690984833335486\"],"
+        emit("\"xof_shake\": {\"label\":\"pvac.test.label\",\"seed\":[\"1\",\"2\",\"16045690984503098046\"],"
              "\"u64s\":%s,\"bounded337\":%s},\n", u64s_json(ws).c_str(), u64s_json(bs).c_str());
     }
 
