@@ -1,0 +1,281 @@
+"""LPN-based PRF R (reference: include/pvac/crypto/lpn.hpp:157-275).
+
+prf_R(pk, sk, seed) = prod of three domain-separated cores; each core:
+  1. derive_aes_key = SHA-256(prf_k || canon_tag || H_digest || seed || dom)
+     (lpn.hpp:166-192), nonce = fnv1a(dom) ^ seed.nonce.lo
+  2. t LPN samples y_r = <a_r, s> xor Ber(tau), a_r = 64 AES-CTR u64s per
+     row, noise draw = bounded(8) < 1 (lpn.hpp:194-233)
+  3. GF(2) Toeplitz compression to 127 bits with an AES-CTR top row from a
+     TOEP-domain key (lpn.hpp:235-261)
+  4. map to a nonzero field element (lpn.hpp:25-37)
+
+Because convolution bit k depends only on operand bits 0..k, only LPN rows
+0..126 (and the first toep block) influence the output — proven bit-exact
+against the reference (tools/refharness/check_toep.cpp).  The batched path
+computes exactly those rows: ~129x less AES than the reference per core.
+
+Bounded-rejection in the noise draw (probability 8/2^64 per row) would shift
+the stream; the batch path detects it and falls back to the exact scalar
+mirror for affected lanes.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..core import field as F
+from ..core import fieldv as FV
+from ..core import hash as H
+from ..types import Dom, PubKey, RSeed, SecKey
+from . import aes as AES
+from . import aesv
+from . import toeplitz as TOEP
+
+U32 = np.uint32
+U64MAX = (1 << 64) - 1
+
+
+def fnv1a_domain(dom: str | bytes) -> int:
+    """FNV-1a of a domain string (lpn.hpp:157-164)."""
+    if isinstance(dom, str):
+        dom = dom.encode()
+    h = 0xCBF29CE484222325
+    for b in dom:
+        h ^= b
+        h = (h * 0x100000001B3) & U64MAX
+    return h
+
+
+DOM_HASH = {
+    d: fnv1a_domain(d)
+    for d in (
+        Dom.H_GEN, Dom.X_SEED, Dom.NOISE, Dom.PRF_LPN, Dom.TOEP, Dom.ZTAG,
+        Dom.COMMIT, Dom.PRF_R1, Dom.PRF_R2, Dom.PRF_R3,
+        Dom.PRF_NOISE1, Dom.PRF_NOISE2, Dom.PRF_NOISE3,
+    )
+}
+
+
+def hash_to_fp_nonzero(lo: int, hi: int) -> int:
+    """(lo, hi) -> nonzero field element (lpn.hpp:25-37)."""
+    r = F.fp_from_words(lo, hi & F.MASK63)
+    return r if r else 1
+
+
+def _key_prefix(pk: PubKey, sk: SecKey) -> bytes:
+    parts = [struct.pack("<Q", k & U64MAX) for k in sk.prf_k]
+    parts.append(struct.pack("<Q", pk.canon_tag & U64MAX))
+    parts.append(pk.H_digest)
+    return b"".join(parts)
+
+
+def derive_aes_key(pk: PubKey, sk: SecKey, seed: RSeed, dom: str) -> tuple[bytes, int]:
+    """Scalar derive_aes_key (lpn.hpp:166-192)."""
+    dom_hash = DOM_HASH.get(dom) or fnv1a_domain(dom)
+    msg = _key_prefix(pk, sk) + struct.pack(
+        "<QQQQ", seed.ztag & U64MAX, seed.nonce.lo & U64MAX,
+        seed.nonce.hi & U64MAX, dom_hash,
+    )
+    return H.sha256(msg), dom_hash ^ (seed.nonce.lo & U64MAX)
+
+
+def lpn_make_ybits(pk: PubKey, sk: SecKey, seed: RSeed, dom: str,
+                   n_rows: int | None = None) -> list[int]:
+    """Scalar mirror of lpn_make_ybits (lpn.hpp:194-233); optionally only the
+    first n_rows rows (the stream position of row r is row-independent except
+    for ~2^-61 bounded-rejections, which this exact mirror does handle)."""
+    t = pk.prm.lpn_t if n_rows is None else min(n_rows, pk.prm.lpn_t)
+    s_words = pk.prm.s_words64
+    key, nonce = derive_aes_key(pk, sk, seed, dom)
+    prg = AES.AesCtr256(key, nonce)
+    ybits = [0] * ((pk.prm.lpn_t + 63) // 64)
+    num, den = pk.prm.lpn_tau_num, pk.prm.lpn_tau_den
+    for r in range(t):
+        row = prg.fill_u64(s_words)
+        acc = 0
+        for wi in range(s_words):
+            acc ^= row[wi] & sk.lpn_s_bits[wi]
+        dot = bin(acc).count("1") & 1
+        e = 1 if prg.bounded(den) < num else 0
+        ybits[r >> 6] ^= (dot ^ e) << (r & 63)
+    return ybits
+
+
+def _toep_key_nonce(pk: PubKey, sk: SecKey, seed: RSeed, dom: str) -> tuple[bytes, int]:
+    key, nonce = derive_aes_key(pk, sk, seed, Dom.TOEP)
+    return key, nonce ^ (DOM_HASH.get(dom) or fnv1a_domain(dom))
+
+
+def prf_R_core(pk: PubKey, sk: SecKey, seed: RSeed, dom: str) -> int:
+    """Scalar core — single-lane call into the batched engine."""
+    r = prf_cores_batch(
+        pk, sk,
+        np.array([[seed.ztag, seed.nonce.lo, seed.nonce.hi]], dtype=np.uint64),
+        np.array([DOM_HASH.get(dom) or fnv1a_domain(dom)], dtype=np.uint64),
+    )
+    return FV.to_ints(r)[0]
+
+
+def prf_R(pk: PubKey, sk: SecKey, seed: RSeed) -> int:
+    r1 = prf_R_core(pk, sk, seed, Dom.PRF_R1)
+    r2 = prf_R_core(pk, sk, seed, Dom.PRF_R2)
+    r3 = prf_R_core(pk, sk, seed, Dom.PRF_R3)
+    return F.fp_mul(F.fp_mul(r1, r2), r3)
+
+
+def prf_R_noise(pk: PubKey, sk: SecKey, seed: RSeed) -> int:
+    r1 = prf_R_core(pk, sk, seed, Dom.PRF_NOISE1)
+    r2 = prf_R_core(pk, sk, seed, Dom.PRF_NOISE2)
+    r3 = prf_R_core(pk, sk, seed, Dom.PRF_NOISE3)
+    return F.fp_mul(F.fp_mul(r1, r2), r3)
+
+
+# ---------------------------------------------------------------------------
+# batched engine
+# ---------------------------------------------------------------------------
+
+def _rows_per_core(prm) -> int:
+    # only LPN rows 0..126 influence the 127 toep output bits
+    return min(127, prm.lpn_t)
+
+
+def n_ybits_blocks(prm) -> int:
+    """AES blocks needed for the influential rows of one core."""
+    rows = _rows_per_core(prm)
+    u64s = rows * (prm.s_words64 + 1)
+    return (u64s + 1) // 2
+
+
+def derive_keys_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                      dom_hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized derive_aes_key.  seeds_u64 [N, 3] uint64 (ztag, lo, hi),
+    dom_hashes [N] uint64 -> (keys [N, 32] uint8, nonces [N] uint64)."""
+    prefix = _key_prefix(pk, sk)
+    layout = H.MsgLayout(prefix, 4)
+    N = seeds_u64.shape[0]
+    f64 = np.concatenate([seeds_u64, dom_hashes[:, None]], axis=1)
+    fields = np.stack(
+        [(f64 & np.uint64(0xFFFFFFFF)).astype(U32),
+         (f64 >> np.uint64(32)).astype(U32)],
+        axis=-1,
+    )
+    blocks = layout.build_blocks(fields)
+    state = H.sha256_init_state((N,), np)
+    for b in range(layout.n_blocks):
+        state = H.sha256_compress(state, blocks[:, b, :])
+    # digest bytes = BE(h0)..BE(h7)
+    keys = np.zeros((N, 32), dtype=np.uint8)
+    for i in range(8):
+        keys[:, 4 * i + 0] = (state[:, i] >> 24) & 0xFF
+        keys[:, 4 * i + 1] = (state[:, i] >> 16) & 0xFF
+        keys[:, 4 * i + 2] = (state[:, i] >> 8) & 0xFF
+        keys[:, 4 * i + 3] = state[:, i] & 0xFF
+    nonces = dom_hashes ^ seeds_u64[:, 1]
+    return keys, nonces
+
+
+def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                    dom_hashes: np.ndarray) -> np.ndarray:
+    """N independent prf_R_core evaluations (host/numpy path).
+
+    seeds_u64: [N, 3] uint64 (ztag, nonce_lo, nonce_hi); dom_hashes [N].
+    Returns [N, 4] uint32 field limbs.
+    """
+    prm = pk.prm
+    N = seeds_u64.shape[0]
+    rows = _rows_per_core(prm)
+    sw64 = prm.s_words64
+    nblocks = n_ybits_blocks(prm)
+
+    keys, nonces = derive_keys_batch(pk, sk, seeds_u64, dom_hashes)
+    toep_keys, toep_base = derive_keys_batch(
+        pk, sk, seeds_u64,
+        np.full(N, DOM_HASH[Dom.TOEP], dtype=np.uint64),
+    )
+    toep_nonces = toep_base ^ dom_hashes
+
+    u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)  # [N, 2*nblocks, 2]
+
+    # LPN rows: row r = u64 stream [r*(sw64+1), ...+sw64), noise at +sw64
+    stride = sw64 + 1
+    row_idx = (np.arange(rows)[:, None] * stride + np.arange(sw64)[None, :])
+    rows_u = u64s[:, row_idx, :]  # [N, rows, sw64, 2]
+    s32 = sk.s_words32().reshape(sw64, 2)  # [sw64, 2] uint32
+    acc = rows_u & s32[None, None, :, :]
+    folded = np.bitwise_xor.reduce(acc.reshape(N, rows, -1), axis=-1)
+    x = folded
+    x ^= x >> U32(16)
+    x ^= x >> U32(8)
+    x ^= x >> U32(4)
+    x ^= x >> U32(2)
+    x ^= x >> U32(1)
+    dot = x & U32(1)  # [N, rows]
+
+    noise_idx = np.arange(rows) * stride + sw64
+    nz = u64s[:, noise_idx, :]  # [N, rows, 2]
+    den = prm.lpn_tau_den
+    num = prm.lpn_tau_num
+    # bounded(den) < num with strict-< acceptance; den is a power of two in
+    # all configurations, so x % den = low bits.
+    assert den & (den - 1) == 0, "lpn_tau_den must be a power of two"
+    e = ((nz[..., 0] & U32(den - 1)) < U32(num)).astype(U32)
+    # rejection: x >= 2^64 - den  (lim = 2^64 - den; accept strictly below)
+    rej = (nz[..., 1] == U32(0xFFFFFFFF)) & (nz[..., 0] >= U32((1 << 32) - den))
+
+    y = dot ^ e  # [N, rows]
+    # pack 127 bits -> [N, 4] uint32
+    y4 = np.zeros((N, 4), dtype=U32)
+    for k in range(4):
+        lo, hi_ = 32 * k, min(32 * (k + 1), rows)
+        if lo >= rows:
+            break
+        chunk = y[:, lo:hi_]
+        sh = np.arange(hi_ - lo, dtype=U32)
+        y4[:, k] = (chunk << sh).sum(axis=-1, dtype=np.uint64).astype(U32)
+
+    # toep top: first AES block of the TOEP stream = bits 0..127
+    top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)  # [N, 2, 2]
+    top4 = np.stack(
+        [top_u[:, 0, 0], top_u[:, 0, 1], top_u[:, 1, 0], top_u[:, 1, 1]],
+        axis=-1,
+    )
+
+    out127 = TOEP.conv127(y4, top4)  # [N, 4], bits 0..126
+    r = FV.canon(out127)
+    one = np.broadcast_to(np.array([1, 0, 0, 0], dtype=U32), r.shape)
+    r = FV.select(FV.is_zero(r), one, r)
+
+    # exact fallback for bounded-rejection lanes (probability ~ rows*den/2^64)
+    if rej.any():
+        for n in np.nonzero(rej.any(axis=-1))[0]:
+            seed = RSeed(
+                int(seeds_u64[n, 0]),
+                type("N", (), {"lo": int(seeds_u64[n, 1]), "hi": int(seeds_u64[n, 2])})(),
+            )
+            r[n] = _prf_core_exact_scalar(pk, sk, seed, int(dom_hashes[n]))
+    return r
+
+
+def _prf_core_exact_scalar(pk: PubKey, sk: SecKey, seed, dom_hash: int) -> np.ndarray:
+    """Slow exact mirror used only when a bounded() rejection occurred."""
+    dom = next(d for d, h in DOM_HASH.items() if h == dom_hash)
+    yb = lpn_make_ybits(pk, sk, seed, dom)
+    key, nonce = _toep_key_nonce(pk, sk, seed, dom)
+    prg = AES.AesCtr256(key, nonce)
+    top_words = prg.fill_u64((pk.prm.lpn_t + 127 + 63) // 64)
+    lo, hi = TOEP.toep_127_scalar(top_words, yb)
+    v = hash_to_fp_nonzero(lo, hi)
+    return FV.from_ints([v])[0]
+
+
+def prf_R_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                noise: bool = False) -> np.ndarray:
+    """Batched prf_R / prf_R_noise over N seeds -> [N, 4] uint32 limbs."""
+    N = seeds_u64.shape[0]
+    doms = (Dom.PRF_NOISE1, Dom.PRF_NOISE2, Dom.PRF_NOISE3) if noise else (
+        Dom.PRF_R1, Dom.PRF_R2, Dom.PRF_R3)
+    seeds3 = np.repeat(seeds_u64, 3, axis=0)
+    dh = np.tile(np.array([DOM_HASH[d] for d in doms], dtype=np.uint64), N)
+    cores = prf_cores_batch(pk, sk, seeds3, dh).reshape(N, 3, 4)
+    return FV.mul(FV.mul(cores[:, 0], cores[:, 1]), cores[:, 2])

@@ -1,0 +1,189 @@
+"""Hypergraph / syndrome machinery (reference: include/pvac/crypto/matrix.hpp).
+
+- prg_choose_k: k unique indices from a SHA-256-CTR stream (matrix.hpp:15-92)
+- gen_ubk_public: public Fisher-Yates permutation from canon_tag (:95-164)
+- apply_perm_sigma / ubk_apply: bit permutation of syndromes (:167-188, :306-310)
+- gen_H: n_bits sparse columns of m_bits, col weight h_col_wt, plus the
+  streaming H digest (:191-251)
+- prg_layer_ztag: layer tag hash (:254-264)
+- sigma_from_H: XOR of x_col_wt H-columns + err_wt noise bits (:267-303)
+
+H is stored as a packed uint32 bit matrix [n_bits, m_words32]; σ generation
+is batched over edges (gather + XOR-reduce), matching the reference
+bit-for-bit via the shared SHA-CTR stream semantics.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..core import bitvec as BV
+from ..core import hash as H
+from ..types import Cipher, Dom, Nonce128, PubKey, Ubk
+from . import shactr
+
+U32 = np.uint32
+
+
+def prg_choose_k(k: int, N: int, label: str, words) -> list[int]:
+    """Scalar prg_choose_k (matrix.hpp:15-92)."""
+    return shactr.choose_k_scalar(k, N, label, words)
+
+
+def gen_ubk_public(canon_tag: int, m_bits: int) -> Ubk:
+    """Public permutation from canon_tag (matrix.hpp:95-164)."""
+    perm = list(range(m_bits))
+    rng = shactr.CtrStream("UBK", [canon_tag])
+    for i in range(m_bits - 1, 0, -1):
+        j = rng.bounded(i + 1)
+        perm[i], perm[j] = perm[j], perm[i]
+    perm = np.asarray(perm, dtype=np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(m_bits, dtype=np.int32)
+    return Ubk(perm=perm, inv=inv)
+
+
+def apply_perm_sigma(sigma, inv) -> np.ndarray:
+    """Permute σ bits: out[inv[src]] = in[src], i.e. out[j] = in[perm[j]]
+    (matrix.hpp:167-188).  sigma: [..., W] uint32 packed; inv: int32 [m]."""
+    xp = np if type(sigma).__module__.startswith("numpy") else __import__(
+        "jax.numpy", fromlist=["x"]
+    )
+    m = inv.shape[0]
+    # perm[j] = src such that inv[src] = j
+    if isinstance(inv, np.ndarray):
+        perm = np.empty_like(inv)
+        perm[inv] = np.arange(m, dtype=inv.dtype)
+    else:
+        perm = xp.zeros_like(inv).at[inv].set(xp.arange(m, dtype=inv.dtype))
+    src_word = perm // 32
+    src_bit = (perm % 32).astype(U32)
+    bits = (sigma[..., src_word] >> src_bit) & U32(1)  # [..., m]
+    out = bits.reshape(*bits.shape[:-1], m // 32, 32)
+    sh = xp.arange(32, dtype=U32)
+    return (out << sh).sum(axis=-1, dtype=np.uint64).astype(U32) if xp is np else (
+        (out << sh).sum(axis=-1).astype(U32)
+    )
+
+
+def ubk_apply(pk: PubKey, C: Cipher) -> None:
+    """Permute every edge's σ in place (matrix.hpp:306-310)."""
+    if C.n_edges:
+        C.sigma = apply_perm_sigma(C.sigma, pk.ubk.inv)
+
+
+def gen_H(pk: PubKey) -> None:
+    """Generate H columns + digest into pk (matrix.hpp:191-251)."""
+    prm = pk.prm
+    m, n, wt = prm.m_bits, prm.n_bits, prm.h_col_wt
+    mw = prm.sigma_words32
+
+    # per-column stream words: {m, n, wt, c, canon_tag}
+    cols = np.arange(n, dtype=np.uint64)
+    words = np.zeros((n, 5), dtype=np.uint64)
+    words[:, 0] = m
+    words[:, 1] = n
+    words[:, 2] = wt
+    words[:, 3] = cols
+    words[:, 4] = pk.canon_tag
+    lanes = np.stack(
+        [(words & np.uint64(0xFFFFFFFF)).astype(U32),
+         (words >> np.uint64(32)).astype(U32)],
+        axis=-1,
+    )
+    rows_idx, fb = shactr.choose_k_batch(wt, m, Dom.H_GEN, lanes)
+    if fb.any():
+        for c in np.nonzero(fb)[0]:
+            rows_idx[c] = shactr.choose_k_scalar(
+                wt, m, Dom.H_GEN, [m, n, wt, int(c), pk.canon_tag]
+            )
+
+    Hbits = np.zeros((n, mw), dtype=U32)
+    col_ids = np.repeat(np.arange(n), wt)
+    r = rows_idx.reshape(-1)
+    np.bitwise_or.at(Hbits, (col_ids, r // 32), U32(1) << (r % 32).astype(U32))
+    pk.H = Hbits
+
+    # streaming digest: "H|v2" + m,n,wt (le64) + column bytes
+    hsh = __import__("hashlib").sha256()
+    hsh.update(b"H|v2")
+    hsh.update(struct.pack("<QQQ", m, n, wt))
+    nbytes = (m + 7) // 8
+    hsh.update(Hbits.astype("<u4").tobytes()[: n * mw * 4] if nbytes == mw * 4
+               else _column_bytes(Hbits, nbytes))
+    pk.H_digest = hsh.digest()
+
+
+def _column_bytes(Hbits: np.ndarray, nbytes: int) -> bytes:
+    full = Hbits.astype("<u4").tobytes()
+    mwb = Hbits.shape[1] * 4
+    out = bytearray()
+    for c in range(Hbits.shape[0]):
+        out += full[c * mwb : c * mwb + nbytes]
+    return bytes(out)
+
+
+def prg_layer_ztag(canon_tag: int, nonce: Nonce128) -> int:
+    """Layer tag (matrix.hpp:254-264)."""
+    msg = Dom.ZTAG.encode() + struct.pack(
+        "<QQQ", canon_tag & shactr.U64MAX, nonce.lo & shactr.U64MAX,
+        nonce.hi & shactr.U64MAX,
+    )
+    return struct.unpack("<Q", H.sha256(msg)[:8])[0]
+
+
+def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarray:
+    """Batched sigma_from_H (matrix.hpp:267-303) over E edges.
+
+    All arguments after pk are arrays [E] (uint64-compatible).  Returns
+    [E, m_words32] uint32 packed syndromes.
+    """
+    prm = pk.prm
+    E = len(ztag)
+    words = np.zeros((E, 7), dtype=np.uint64)
+    words[:, 0] = pk.canon_tag
+    words[:, 1] = ztag
+    words[:, 2] = nonce_lo
+    words[:, 3] = nonce_hi
+    words[:, 4] = idx
+    words[:, 5] = ch
+    words[:, 6] = salt
+    lanes = np.stack(
+        [(words & np.uint64(0xFFFFFFFF)).astype(U32),
+         (words >> np.uint64(32)).astype(U32)],
+        axis=-1,
+    )
+    cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
+    noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
+    fb = fb1 | fb2
+    # XOR of the selected H columns
+    sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
+    # XOR of err_wt unique single bits (unique => OR == XOR)
+    eids = np.repeat(np.arange(E), prm.err_wt)
+    r = noise.reshape(-1)
+    np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
+    if fb.any():
+        for e in np.nonzero(fb)[0]:
+            w = [int(words[e, j]) for j in range(7)]
+            c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits, Dom.X_SEED, w)
+            nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits, Dom.NOISE, w)
+            v = np.bitwise_xor.reduce(pk.H[c], axis=0)
+            for rr in nn:
+                v[rr // 32] ^= U32(1 << (rr % 32))
+            sig[e] = v
+    return sig
+
+
+def sigma_from_H(pk: PubKey, ztag: int, nonce: Nonce128, idx: int, ch: int,
+                 salt: int) -> np.ndarray:
+    """Scalar wrapper -> [m_words32] uint32."""
+    return sigma_words(
+        pk,
+        np.array([ztag], dtype=np.uint64),
+        np.array([nonce.lo], dtype=np.uint64),
+        np.array([nonce.hi], dtype=np.uint64),
+        np.array([idx], dtype=np.uint64),
+        np.array([ch], dtype=np.uint64),
+        np.array([salt], dtype=np.uint64),
+    )[0]

@@ -1,0 +1,171 @@
+"""Core data types (reference: include/pvac/core/types.hpp).
+
+The ciphertext uses a structure-of-arrays edge table (numpy, host-resident):
+device kernels consume the columns directly, padded to static bucket sizes.
+This replaces the reference's vector-of-structs (types.hpp:108-119) with a
+TPU-friendly layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .core.field import MASK63
+from .core.random import csprng_u64
+from .params import Params
+
+
+class Dom:
+    """Domain-separation strings (types.hpp:14-32)."""
+
+    H_GEN = "pvac.dom.h_gen"
+    X_SEED = "pvac.dom.x_seed"
+    NOISE = "pvac.dom.noise"
+    PRF_LPN = "pvac.dom.prf_lpn"
+    TOEP = "pvac.dom.toeplitz"
+    ZTAG = "pvac.dom.ztag"
+    COMMIT = "pvac.dom.commit"
+    PRF_R1 = "pvac.prf.r.1"
+    PRF_R2 = "pvac.prf.r.2"
+    PRF_R3 = "pvac.prf.r.3"
+    PRF_NOISE1 = "pvac.prf.noise.1"
+    PRF_NOISE2 = "pvac.prf.noise.2"
+    PRF_NOISE3 = "pvac.prf.noise.3"
+
+
+RRULE_BASE = 0
+RRULE_PROD = 1
+
+SGN_P = 0
+SGN_M = 1
+
+
+def sgn_val(ch: int) -> int:
+    return 1 if ch == SGN_P else -1
+
+
+@dataclasses.dataclass
+class Nonce128:
+    lo: int
+    hi: int
+
+
+def make_nonce128() -> Nonce128:
+    return Nonce128(csprng_u64(), csprng_u64())
+
+
+@dataclasses.dataclass
+class RSeed:
+    ztag: int
+    nonce: Nonce128
+
+
+@dataclasses.dataclass
+class Layer:
+    rule: int  # RRULE_BASE / RRULE_PROD
+    seed: RSeed
+    pa: int = 0
+    pb: int = 0
+
+
+@dataclasses.dataclass
+class Ubk:
+    perm: np.ndarray  # int32 [m_bits]
+    inv: np.ndarray   # int32 [m_bits]
+
+
+class Cipher:
+    """Layered multigraph ciphertext; edge table as SoA numpy arrays.
+
+    Columns (all length E):
+      layer_id int32, idx int32, ch int8, w uint32 [E, 4] (field limbs),
+      sigma uint32 [E, m_bits/32] (packed syndrome bits).
+    """
+
+    __slots__ = ("layers", "layer_id", "idx", "ch", "w", "sigma")
+
+    def __init__(self, layers=None, layer_id=None, idx=None, ch=None, w=None,
+                 sigma=None, sigma_words: int = 0):
+        self.layers: list[Layer] = layers if layers is not None else []
+        if layer_id is None:
+            self.layer_id = np.zeros(0, dtype=np.int32)
+            self.idx = np.zeros(0, dtype=np.int32)
+            self.ch = np.zeros(0, dtype=np.int8)
+            self.w = np.zeros((0, 4), dtype=np.uint32)
+            self.sigma = np.zeros((0, sigma_words), dtype=np.uint32)
+        else:
+            self.layer_id = np.asarray(layer_id, dtype=np.int32)
+            self.idx = np.asarray(idx, dtype=np.int32)
+            self.ch = np.asarray(ch, dtype=np.int8)
+            self.w = np.asarray(w, dtype=np.uint32)
+            self.sigma = np.asarray(sigma, dtype=np.uint32)
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.layer_id.shape[0])
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.layers)
+
+    def copy(self) -> "Cipher":
+        return Cipher(
+            [dataclasses.replace(L, seed=RSeed(L.seed.ztag, Nonce128(L.seed.nonce.lo, L.seed.nonce.hi))) for L in self.layers],
+            self.layer_id.copy(), self.idx.copy(), self.ch.copy(),
+            self.w.copy(), self.sigma.copy(),
+        )
+
+    def __repr__(self):
+        return f"Cipher(L={self.n_layers}, E={self.n_edges})"
+
+
+@dataclasses.dataclass
+class PubKey:
+    prm: Params
+    canon_tag: int
+    H: Optional[np.ndarray]          # uint32 [n_bits, m_words32] packed columns
+    ubk: Optional[Ubk]
+    H_digest: bytes                  # 32 bytes
+    omega_B: int                     # field element (python int)
+    powg_B: list[int]                # B field elements (python ints)
+
+    def powg_limbs(self) -> np.ndarray:
+        """[B, 4] uint32 limb table for device kernels (cached)."""
+        cached = getattr(self, "_powg_limbs", None)
+        if cached is None:
+            from .core import fieldv
+
+            cached = fieldv.from_ints(self.powg_B)
+            object.__setattr__(self, "_powg_limbs", cached)
+        return cached
+
+
+@dataclasses.dataclass
+class SecKey:
+    prf_k: list[int]            # 4 u64
+    lpn_s_bits: list[int]       # u64 words, lpn_n bits
+
+    def s_words32(self) -> np.ndarray:
+        cached = getattr(self, "_s32", None)
+        if cached is None:
+            from .core import bitvec
+
+            cached = bitvec.from_u64_words(
+                np.asarray(self.lpn_s_bits, dtype=np.uint64)
+            )
+            object.__setattr__(self, "_s32", cached)
+        return cached
+
+
+@dataclasses.dataclass
+class EvalKey:
+    zero_pool: list[Cipher]
+    enc_one: Cipher
+
+
+def rand_fp_nonzero() -> int:
+    from .core.field import rand_fp_nonzero as _r
+
+    return _r()
