@@ -1,0 +1,132 @@
+"""Homomorphic arithmetic (reference: include/pvac/ops/arithmetic.hpp).
+
+ct_add/sub/neg/scale are metadata + limb-vector operations; ct_mul's edge
+cross product and (layer-pair, idx mod B) bucket aggregation — the hot O(n^2)
+loop (arithmetic.hpp:79-87) — runs as batched limb multiplies with limb-wise
+uint64 segment sums, then one batched σ regeneration for the emitted edges.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import field as F
+from ..core import fieldv as FV
+from ..core.random import csprng_u64
+from ..crypto import matrix
+from ..types import (
+    Cipher, Layer, Nonce128, PubKey, RSeed,
+    RRULE_PROD, SGN_P, SGN_M, make_nonce128,
+)
+from .encrypt import combine_ciphers, compact_layers, guard_budget
+
+U32 = np.uint32
+
+
+def ct_add(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
+    """Concatenation add (arithmetic.hpp:12-31) — same as combine_ciphers."""
+    return combine_ciphers(pk, A, B)
+
+
+def ct_scale(pk: PubKey, A: Cipher, s: int) -> Cipher:
+    """Multiply every edge weight by a scalar (arithmetic.hpp:33-37)."""
+    C = A.copy()
+    sv = np.broadcast_to(FV.from_ints([s])[0], C.w.shape)
+    C.w = FV.mul(C.w, sv)
+    return C
+
+
+def ct_neg(pk: PubKey, A: Cipher) -> Cipher:
+    return ct_scale(pk, A, F.P - 1)
+
+
+def ct_sub(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
+    return ct_add(pk, A, ct_neg(pk, B))
+
+
+def ct_div_const(pk: PubKey, A: Cipher, k: int) -> Cipher:
+    return ct_scale(pk, A, F.fp_inv(k))
+
+
+def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
+    """Edge cross product with PROD layer grid (arithmetic.hpp:47-106)."""
+    LA, LB = A.n_layers, B.n_layers
+    layers = [Layer(L.rule, L.seed, L.pa, L.pb) for L in A.layers]
+    off = LA
+    for L in B.layers:
+        if L.rule == RRULE_PROD:
+            layers.append(Layer(L.rule, L.seed, L.pa + off, L.pb + off))
+        else:
+            layers.append(Layer(L.rule, L.seed, L.pa, L.pb))
+    base = len(layers)
+    prod_seeds = []
+    for la in range(LA):
+        for lb in range(LB):
+            nonce = make_nonce128()
+            seed = RSeed(matrix.prg_layer_ztag(pk.canon_tag, nonce), nonce)
+            layers.append(Layer(RRULE_PROD, seed, la, off + lb))
+            prod_seeds.append(seed)
+
+    nA, nB = A.n_edges, B.n_edges
+    Bmod = pk.prm.B
+
+    # cross-product index grids [nA*nB]
+    ia = np.repeat(np.arange(nA), nB)
+    ib = np.tile(np.arange(nB), nA)
+    pair_lid = A.layer_id[ia].astype(np.int64) * LB + B.layer_id[ib].astype(np.int64)
+    idx_sum = (A.idx[ia].astype(np.int64) + B.idx[ib].astype(np.int64)) % Bmod
+    same_sign = (A.ch[ia] == B.ch[ib])
+    key = (pair_lid * Bmod + idx_sum) * 2 + (~same_sign).astype(np.int64)
+
+    ww = FV.mul(A.w[ia], B.w[ib]).astype(np.uint64)  # [nA*nB, 4]
+
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    uniq, start = np.unique(skey, return_index=True)
+    seg = np.zeros(len(key), dtype=np.int64)
+    seg[start] = 1
+    seg = np.cumsum(seg) - 1
+    acc = np.zeros((len(uniq), 4), dtype=np.uint64)
+    np.add.at(acc, seg, ww[order])
+    # uint64 limb overflow bound: nA*nB addends < 2^32 per bucket, each
+    # limb < 2^32 -> sums < 2^64.  For gigantic ciphertexts chunk instead.
+    assert len(key) < (1 << 31)
+
+    out_lid, out_idx, out_ch, out_w = [], [], [], []
+    for b in range(len(uniq)):
+        k = int(uniq[b])
+        w = (
+            int(acc[b, 0]) + (int(acc[b, 1]) << 32)
+            + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)
+        ) % F.P
+        if w == 0:
+            continue
+        out_lid.append(base + (k // 2) // Bmod)
+        out_idx.append((k // 2) % Bmod)
+        out_ch.append(SGN_P if (k & 1) == 0 else SGN_M)
+        out_w.append(w)
+
+    mw = pk.prm.sigma_words32
+    if out_lid:
+        zt = np.array([layers[l].seed.ztag for l in out_lid], dtype=np.uint64)
+        nlo = np.array([layers[l].seed.nonce.lo for l in out_lid], dtype=np.uint64)
+        nhi = np.array([layers[l].seed.nonce.hi for l in out_lid], dtype=np.uint64)
+        salts = np.array([csprng_u64() for _ in out_lid], dtype=np.uint64)
+        sig = matrix.sigma_words(
+            pk, zt, nlo, nhi,
+            np.asarray(out_idx, dtype=np.uint64),
+            np.asarray(out_ch, dtype=np.uint64), salts,
+        )
+    else:
+        sig = np.zeros((0, mw), dtype=U32)
+
+    C = Cipher(
+        layers,
+        np.asarray(out_lid, dtype=np.int32),
+        np.asarray(out_idx, dtype=np.int32),
+        np.asarray(out_ch, dtype=np.int8),
+        FV.from_ints(out_w) if out_w else np.zeros((0, 4), dtype=U32),
+        sig,
+    )
+    guard_budget(pk, C, "mul")
+    compact_layers(C)
+    return C

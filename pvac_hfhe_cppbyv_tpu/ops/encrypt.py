@@ -1,0 +1,434 @@
+"""Encryption (reference: include/pvac/ops/encrypt.hpp).
+
+Single-ciphertext calls mirror the reference API; internally everything is
+batched — one prf_cores_batch call covers all (layer, domain, noise-group)
+PRF evaluations and one sigma_words call covers all edges, so encrypting a
+batch of values costs one pass through the vectorized AES/SHA engines.
+
+Host randomness (nonces, index picks, random weights) comes from the OS
+CSPRNG exactly like the reference (encrypt.hpp:131-160); since those draws
+are random the two implementations produce differently-random but
+identically-distributed ciphertexts, which the reverse-interop test
+(reference decodes our .ct files) verifies.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..config import dbg
+from ..core import bitvec as BV
+from ..core import field as F
+from ..core import fieldv as FV
+from ..core.random import csprng_u64
+from ..crypto import lpn, matrix
+from ..types import (
+    Cipher, Dom, Layer, Nonce128, PubKey, RSeed, SecKey,
+    RRULE_BASE, RRULE_PROD, SGN_P, SGN_M, make_nonce128, sgn_val,
+)
+
+U32 = np.uint32
+U64MAX = (1 << 64) - 1
+
+
+def plan_noise(pk: PubKey, depth_hint: int) -> tuple[int, int]:
+    """Noise-group budgeting (encrypt.hpp:16-27)."""
+    prm = pk.prm
+    budget = prm.noise_entropy_bits + prm.depth_slope_bits * max(0, depth_hint)
+    per2 = 2.0 * math.log2(float(prm.B))
+    per3 = 3.0 * math.log2(float(prm.B))
+    z2 = max(0, int(math.floor((budget * prm.tuple2_fraction) / max(1e-6, per2))))
+    z3 = max(0, int(math.floor((budget * (1.0 - prm.tuple2_fraction)) / max(1e-6, per3))))
+    if z2 + z3 == 1:
+        if z3 > 0:
+            z3 += 1
+        else:
+            z2 += 1
+    return z2, z3
+
+
+def sigma_density(pk: PubKey, C: Cipher) -> float:
+    """Mean σ bit density (encrypt.hpp:29-37)."""
+    if C.n_edges == 0:
+        return 0.0
+    ones = int(BV.popcnt(C.sigma).sum())
+    return ones / float(C.n_edges * pk.prm.m_bits)
+
+
+def _weights_to_ints(w: np.ndarray) -> list[int]:
+    return FV.to_ints(w)
+
+
+def compact_edges(pk: PubKey, C: Cipher) -> None:
+    """Aggregate edges by (layer, idx, sign): weights sum in F_p, syndromes
+    XOR (encrypt.hpp:39-71).  Emission order matches the reference: layer
+    ascending, idx ascending, P before M."""
+    E = C.n_edges
+    if E == 0:
+        return
+    B = pk.prm.B
+    key = (
+        C.layer_id.astype(np.int64) * (2 * B)
+        + C.idx.astype(np.int64) * 2
+        + C.ch.astype(np.int64)
+    )
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    uniq, start = np.unique(skey, return_index=True)
+    # per-bucket field sum: limb-wise uint64 accumulation then mod p
+    wl = C.w[order].astype(np.uint64)
+    seg = np.zeros(E, dtype=np.int64)
+    seg[start] = 1
+    seg = np.cumsum(seg) - 1  # bucket id per sorted edge
+    nb = len(uniq)
+    acc = np.zeros((nb, 4), dtype=np.uint64)
+    np.add.at(acc, seg, wl)
+    sig = np.zeros((nb, C.sigma.shape[1]), dtype=U32)
+    np.bitwise_xor.at(sig, seg, C.sigma[order])
+
+    new_lid, new_idx, new_ch, new_w, new_sig = [], [], [], [], []
+    for b in range(nb):
+        k = int(uniq[b])
+        wsum = (
+            int(acc[b, 0]) + (int(acc[b, 1]) << 32)
+            + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)
+        ) % F.P
+        if wsum == 0 and not sig[b].any():
+            continue
+        new_lid.append(k // (2 * B))
+        new_idx.append((k // 2) % B)
+        new_ch.append(k & 1)
+        new_w.append(wsum)
+        new_sig.append(sig[b])
+    C.layer_id = np.asarray(new_lid, dtype=np.int32)
+    C.idx = np.asarray(new_idx, dtype=np.int32)
+    C.ch = np.asarray(new_ch, dtype=np.int8)
+    C.w = FV.from_ints(new_w) if new_w else np.zeros((0, 4), dtype=U32)
+    C.sigma = (np.stack(new_sig) if new_sig
+               else np.zeros((0, C.sigma.shape[1]), dtype=U32))
+
+
+def compact_layers(C: Cipher) -> None:
+    """Drop unreferenced layers, keeping PROD parents live (encrypt.hpp:73-104)."""
+    L = C.n_layers
+    if L == 0:
+        return
+    used = [False] * L
+    for lid in set(C.layer_id.tolist()):
+        if lid < L:
+            used[lid] = True
+    changed = True
+    while changed:
+        changed = False
+        for lid in range(L):
+            if used[lid] and C.layers[lid].rule == RRULE_PROD:
+                for p in (C.layers[lid].pa, C.layers[lid].pb):
+                    if p < L and not used[p]:
+                        used[p] = True
+                        changed = True
+    if all(used):
+        return
+    remap = {}
+    new_layers = []
+    for lid in range(L):
+        if used[lid]:
+            remap[lid] = len(new_layers)
+            new_layers.append(C.layers[lid])
+    for Lr in new_layers:
+        if Lr.rule == RRULE_PROD:
+            Lr.pa = remap[Lr.pa]
+            Lr.pb = remap[Lr.pb]
+    C.layers = new_layers
+    C.layer_id = np.asarray([remap[int(l)] for l in C.layer_id], dtype=np.int32)
+
+
+def guard_budget(pk: PubKey, C: Cipher, where: str) -> None:
+    """Force compaction past the edge budget (encrypt.hpp:106-111)."""
+    if C.n_edges > pk.prm.edge_budget:
+        dbg(1, f"[guard] {where}: {C.n_edges} -> compact")
+        compact_edges(pk, C)
+
+
+def prf_noise_delta_seed(base: RSeed, group_id: int, kind: int) -> RSeed:
+    """Seed tweak for noise deltas (encrypt.hpp:114-129)."""
+    g = (group_id + 1) & U64MAX
+    k = (kind + 1) & U64MAX
+    lo = base.nonce.lo ^ ((0x9E3779B97F4A7C15 * g) & U64MAX)
+    hi = base.nonce.hi ^ ((0x94D049BB133111EB * g) & U64MAX)
+    zt = base.ztag ^ ((0x517CC1B727220A95 * g) & U64MAX)
+    lo ^= k
+    hi ^= (k << 32) & U64MAX
+    zt ^= (k << 48) & U64MAX
+    return RSeed(ztag=zt, nonce=Nonce128(lo, hi))
+
+
+def prf_noise_delta(pk: PubKey, sk: SecKey, base_seed: RSeed, group_id: int,
+                    kind: int) -> int:
+    return lpn.prf_R_noise(pk, sk, prf_noise_delta_seed(base_seed, group_id, kind))
+
+
+def _pick_unique_idx(B: int, used: set) -> int:
+    while True:
+        x = csprng_u64() % B
+        if x not in used:
+            used.add(x)
+            return x
+
+
+def _pick_distinct(B: int, *exclude) -> int:
+    while True:
+        x = csprng_u64() % B
+        if x not in exclude:
+            return x
+
+
+class _LayerPlan:
+    """Host-side plan of one fresh BASE layer: all randomness and index
+    choices drawn, PRF requests collected for batching."""
+
+    __slots__ = ("seed", "value", "edges", "n_delta", "z2", "z3")
+
+    def __init__(self, pk: PubKey, value: int, depth_hint: int):
+        nonce = make_nonce128()
+        self.seed = RSeed(
+            ztag=matrix.prg_layer_ztag(pk.canon_tag, nonce), nonce=nonce
+        )
+        self.value = value
+        self.z2, self.z3 = plan_noise(pk, depth_hint)
+        self.n_delta = max(0, self.z2 + self.z3 - 1)
+        self.edges = None  # filled after PRF resolution
+
+
+def _prf_requests(plan: _LayerPlan) -> list[tuple[RSeed, str]]:
+    reqs = []
+    for d in (Dom.PRF_R1, Dom.PRF_R2, Dom.PRF_R3):
+        reqs.append((plan.seed, d))
+    total = plan.z2 + plan.z3
+    for g in range(total):
+        if total - g <= 1:
+            break
+        kind = 0 if g < plan.z2 else 1
+        s2 = prf_noise_delta_seed(plan.seed, g, kind)
+        for d in (Dom.PRF_NOISE1, Dom.PRF_NOISE2, Dom.PRF_NOISE3):
+            reqs.append((s2, d))
+    return reqs
+
+
+def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple]:
+    """Given this layer's resolved PRF cores (in request order), draw the
+    edge set: [(idx, ch, weight_int)].  Mirrors encrypt.hpp:162-252."""
+    prm = pk.prm
+    B = prm.B
+    R = F.fp_mul(F.fp_mul(cores[0], cores[1]), cores[2])
+    deltas = []
+    for i in range(3, len(cores), 3):
+        deltas.append(F.fp_mul(F.fp_mul(cores[i], cores[i + 1]), cores[i + 2]))
+
+    edges = []
+    S = 8
+    used: set = set()
+    idxs = [_pick_unique_idx(B, used) for _ in range(S)]
+    chs = [csprng_u64() & 1 for _ in range(S)]
+    sumg = 0
+    rs = []
+    for j in range(S - 1):
+        r = F.rand_fp_nonzero()
+        rs.append(r)
+        term = F.fp_mul(r, pk.powg_B[idxs[j]])
+        sumg = F.fp_add(sumg, term) if sgn_val(chs[j]) > 0 else F.fp_sub(sumg, term)
+    g_last = pk.powg_B[idxs[S - 1]]
+    r_last = F.fp_mul(F.fp_sub(plan.value, sumg), F.fp_inv(g_last))
+    rs.append(F.fp_neg(r_last) if sgn_val(chs[S - 1]) < 0 else r_last)
+    for j in range(S):
+        edges.append((idxs[j], chs[j], F.fp_mul(rs[j], R)))
+
+    total = plan.z2 + plan.z3
+    delta_acc = 0
+    di = 0
+    group_id = 0
+
+    def next_delta() -> int:
+        nonlocal delta_acc, di
+        if total - group_id <= 1:
+            return F.fp_neg(delta_acc)
+        d = deltas[di]
+        di += 1
+        delta_acc = F.fp_add(delta_acc, d)
+        return d
+
+    for _ in range(plan.z2):
+        i = csprng_u64() % B
+        j = _pick_distinct(B, i)
+        s1 = csprng_u64() & 1
+        s2 = s1 ^ 1
+        Delta = next_delta()
+        group_id += 1
+        Dp = Delta if sgn_val(s1) > 0 else F.fp_neg(Delta)
+        gi, gj = pk.powg_B[i], pk.powg_B[j]
+        r_i = F.rand_fp_nonzero()
+        r_j = F.fp_mul(F.fp_sub(F.fp_mul(r_i, gi), Dp), F.fp_inv(gj))
+        edges.append((i, s1, F.fp_mul(r_i, R)))
+        edges.append((j, s2, F.fp_mul(r_j, R)))
+
+    for _ in range(plan.z3):
+        i = csprng_u64() % B
+        j = _pick_distinct(B, i)
+        k = _pick_distinct(B, i, j)
+        s1, s2, s3 = csprng_u64() & 1, csprng_u64() & 1, csprng_u64() & 1
+        Delta = next_delta()
+        group_id += 1
+        a = F.rand_fp_nonzero()
+        b = F.rand_fp_nonzero()
+        t1 = F.fp_mul(a, pk.powg_B[i])
+        t2 = F.fp_mul(b, pk.powg_B[j])
+        if sgn_val(s1) < 0:
+            t1 = F.fp_neg(t1)
+        if sgn_val(s2) < 0:
+            t2 = F.fp_neg(t2)
+        gk = pk.powg_B[k] if sgn_val(s3) > 0 else F.fp_neg(pk.powg_B[k])
+        c = F.fp_mul(F.fp_sub(Delta, F.fp_add(t1, t2)), F.fp_inv(gk))
+        edges.append((i, s1, F.fp_mul(a, R)))
+        edges.append((j, s2, F.fp_mul(b, R)))
+        edges.append((k, s3, F.fp_mul(c, R)))
+    return edges
+
+
+def _build_cipher_from_layers(pk: PubKey, plans: list[_LayerPlan]) -> Cipher:
+    """σ-generate all edges of the planned layers in one batch and assemble
+    one Cipher per plan list (plans become layers 0..len-1)."""
+    mw = pk.prm.sigma_words32
+    lids, idxs, chs, ws = [], [], [], []
+    zt, nlo, nhi, salts = [], [], [], []
+    for lid, plan in enumerate(plans):
+        for (idx, ch, w) in plan.edges:
+            lids.append(lid)
+            idxs.append(idx)
+            chs.append(ch)
+            ws.append(w)
+            zt.append(plan.seed.ztag)
+            nlo.append(plan.seed.nonce.lo)
+            nhi.append(plan.seed.nonce.hi)
+            salts.append(csprng_u64())
+    sig = matrix.sigma_words(
+        pk,
+        np.asarray(zt, dtype=np.uint64), np.asarray(nlo, dtype=np.uint64),
+        np.asarray(nhi, dtype=np.uint64), np.asarray(idxs, dtype=np.uint64),
+        np.asarray(chs, dtype=np.uint64), np.asarray(salts, dtype=np.uint64),
+    )
+    C = Cipher(
+        [Layer(rule=RRULE_BASE, seed=p.seed) for p in plans],
+        np.asarray(lids, dtype=np.int32),
+        np.asarray(idxs, dtype=np.int32),
+        np.asarray(chs, dtype=np.int8),
+        FV.from_ints(ws),
+        sig,
+    )
+    return C
+
+
+def _shuffle_edges(C: Cipher) -> None:
+    """Fisher-Yates on the edge table (encrypt.hpp:155-160)."""
+    n = C.n_edges
+    if n < 2:
+        return
+    perm = np.arange(n)
+    for i in range(n - 1, 0, -1):
+        j = csprng_u64() % (i + 1)
+        perm[i], perm[j] = perm[j], perm[i]
+    C.layer_id = C.layer_id[perm]
+    C.idx = C.idx[perm]
+    C.ch = C.ch[perm]
+    C.w = C.w[perm]
+    C.sigma = C.sigma[perm]
+
+
+def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
+                       depth_hints: list[int]) -> list[Cipher]:
+    """Batch of single-layer encryptions — one PRF batch + one σ batch."""
+    plans = [_LayerPlan(pk, v, d) for v, d in zip(values, depth_hints)]
+    reqs = []
+    spans = []
+    for p in plans:
+        r = _prf_requests(p)
+        spans.append((len(reqs), len(r)))
+        reqs.extend(r)
+    seeds = np.array(
+        [[s.ztag, s.nonce.lo, s.nonce.hi] for s, _ in reqs], dtype=np.uint64
+    )
+    dh = np.array([lpn.DOM_HASH[d] for _, d in reqs], dtype=np.uint64)
+    cores = FV.to_ints(lpn.prf_cores_batch(pk, sk, seeds, dh))
+    out = []
+    for p, (off, n) in zip(plans, spans):
+        p.edges = _resolve_layer(pk, p, cores[off : off + n])
+        C = _build_cipher_from_layers(pk, [p])
+        compact_edges(pk, C)
+        guard_budget(pk, C, "enc")
+        _shuffle_edges(C)
+        out.append(C)
+    return out
+
+
+def enc_fp_depth(pk: PubKey, sk: SecKey, v: int, depth_hint: int) -> Cipher:
+    """enc_fp_depth (encrypt.hpp:162-258)."""
+    return enc_fp_depth_batch(pk, sk, [v], [depth_hint])[0]
+
+
+def combine_ciphers(pk: PubKey, a: Cipher, b: Cipher) -> Cipher:
+    """Concatenate layers + edges with layer-id offsetting (encrypt.hpp:260-279)."""
+    off = a.n_layers
+    layers = [Layer(L.rule, L.seed, L.pa, L.pb) for L in a.layers]
+    for L in b.layers:
+        if L.rule == RRULE_PROD:
+            layers.append(Layer(L.rule, L.seed, L.pa + off, L.pb + off))
+        else:
+            layers.append(Layer(L.rule, L.seed, L.pa, L.pb))
+    C = Cipher(
+        layers,
+        np.concatenate([a.layer_id, b.layer_id + np.int32(off)]),
+        np.concatenate([a.idx, b.idx]),
+        np.concatenate([a.ch, b.ch]),
+        np.concatenate([a.w, b.w]),
+        np.concatenate([a.sigma, b.sigma]),
+    )
+    guard_budget(pk, C, "combine")
+    compact_layers(C)
+    return C
+
+
+def enc_value_depth(pk: PubKey, sk: SecKey, v: int, depth_hint: int) -> Cipher:
+    """Two-share split v = (v+mask) + (-mask) (encrypt.hpp:281-287)."""
+    val = F.fp_from_u64(v)
+    mask = F.rand_fp_nonzero()
+    c1, c2 = enc_fp_depth_batch(
+        pk, sk, [F.fp_add(val, mask), F.fp_neg(mask)], [depth_hint, depth_hint]
+    )
+    return combine_ciphers(pk, c1, c2)
+
+
+def enc_value(pk: PubKey, sk: SecKey, v: int) -> Cipher:
+    return enc_value_depth(pk, sk, v, 0)
+
+
+def enc_zero_depth(pk: PubKey, sk: SecKey, depth_hint: int) -> Cipher:
+    mask = F.rand_fp_nonzero()
+    c1, c2 = enc_fp_depth_batch(
+        pk, sk, [mask, F.fp_neg(mask)], [depth_hint, depth_hint]
+    )
+    return combine_ciphers(pk, c1, c2)
+
+
+def enc_value_batch(pk: PubKey, sk: SecKey, values: list[int],
+                    depth_hint: int = 0) -> list[Cipher]:
+    """Batched enc_value: all 2N layers share one PRF batch and one σ batch."""
+    vals = []
+    for v in values:
+        val = F.fp_from_u64(v)
+        mask = F.rand_fp_nonzero()
+        vals.append(F.fp_add(val, mask))
+        vals.append(F.fp_neg(mask))
+    shares = enc_fp_depth_batch(pk, sk, vals, [depth_hint] * len(vals))
+    return [
+        combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
+        for i in range(len(values))
+    ]
