@@ -69,27 +69,34 @@ def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
     nA, nB = A.n_edges, B.n_edges
     Bmod = pk.prm.B
 
-    # cross-product index grids [nA*nB]
-    ia = np.repeat(np.arange(nA), nB)
-    ib = np.tile(np.arange(nB), nA)
-    pair_lid = A.layer_id[ia].astype(np.int64) * LB + B.layer_id[ib].astype(np.int64)
-    idx_sum = (A.idx[ia].astype(np.int64) + B.idx[ib].astype(np.int64)) % Bmod
-    same_sign = (A.ch[ia] == B.ch[ib])
-    key = (pair_lid * Bmod + idx_sum) * 2 + (~same_sign).astype(np.int64)
-
-    ww = FV.mul(A.w[ia], B.w[ib]).astype(np.uint64)  # [nA*nB, 4]
-
-    order = np.argsort(key, kind="stable")
-    skey = key[order]
-    uniq, start = np.unique(skey, return_index=True)
-    seg = np.zeros(len(key), dtype=np.int64)
-    seg[start] = 1
-    seg = np.cumsum(seg) - 1
+    # Cross product in chunks of A-edges: bounds peak memory at
+    # ~chunk*nB pair rows regardless of ciphertext size.
+    chunk = max(1, (4 << 20) // max(1, nB))
+    part_keys, part_accs = [], []
+    for a0 in range(0, nA, chunk):
+        a1 = min(nA, a0 + chunk)
+        na = a1 - a0
+        ia = np.repeat(np.arange(a0, a1), nB)
+        ib = np.tile(np.arange(nB), na)
+        pair_lid = (A.layer_id[ia].astype(np.int64) * LB
+                    + B.layer_id[ib].astype(np.int64))
+        idx_sum = (A.idx[ia].astype(np.int64) + B.idx[ib].astype(np.int64)) % Bmod
+        diff_sign = (A.ch[ia] != B.ch[ib])
+        key = (pair_lid * Bmod + idx_sum) * 2 + diff_sign.astype(np.int64)
+        ww = FV.mul(A.w[ia], B.w[ib]).astype(np.uint64)  # [pairs, 4]
+        del ia, ib, pair_lid, idx_sum, diff_sign
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros((len(uniq), 4), dtype=np.uint64)
+        np.add.at(acc, inv, ww)
+        # per-bucket addends < 2^32 and limbs < 2^32 -> u64 never overflows
+        part_keys.append(uniq)
+        part_accs.append(acc)
+    all_keys = np.concatenate(part_keys) if part_keys else np.zeros(0, np.int64)
+    all_accs = (np.concatenate(part_accs)
+                if part_accs else np.zeros((0, 4), np.uint64))
+    uniq, inv = np.unique(all_keys, return_inverse=True)
     acc = np.zeros((len(uniq), 4), dtype=np.uint64)
-    np.add.at(acc, seg, ww[order])
-    # uint64 limb overflow bound: nA*nB addends < 2^32 per bucket, each
-    # limb < 2^32 -> sums < 2^64.  For gigantic ciphertexts chunk instead.
-    assert len(key) < (1 << 31)
+    np.add.at(acc, inv, all_accs)
 
     out_lid, out_idx, out_ch, out_w = [], [], [], []
     for b in range(len(uniq)):

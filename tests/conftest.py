@@ -44,5 +44,14 @@ def golden_small():
 
 
 @pytest.fixture(scope="session")
+def small_keys():
+    """Fresh small-params keypair shared across scheme tests."""
+    import pvac_hfhe_cppbyv_tpu as pvac
+
+    pk, sk = pvac.keygen(pvac.small_test_params())
+    return pk, sk
+
+
+@pytest.fixture(scope="session")
 def golden_default():
     return GOLDEN / "default"
