@@ -74,10 +74,16 @@ def sha256_compress(state, block):
 
     state: [..., 8] uint32; block: [..., 16] uint32 big-endian message words.
     Returns the new [..., 8] state.  Works under numpy and jax.numpy/jit.
+
+    The JAX path runs the 64 rounds as a lax.fori_loop: a fully unrolled
+    round chain in one XLA fusion triggers exponential expression
+    re-materialization in the CPU fusion emitter (observed: minutes-long
+    "runs" of a microsecond kernel), and the loop form also compiles ~50x
+    faster.
     """
-    xp = np if type(state).__module__.startswith("numpy") else __import__(
-        "jax.numpy", fromlist=["x"]
-    )
+    if not type(state).__module__.startswith("numpy"):
+        return _sha256_compress_jax(state, block)
+    xp = np
     w = [block[..., i] for i in range(16)]
     for i in range(16, 64):
         s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> U32(3))
@@ -108,6 +114,54 @@ def sha256_compress(state, block):
         axis=-1,
     )
     return out
+
+
+def _sha256_compress_jax(state, block):
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    K = jnp.asarray(_K)
+
+    def round_body(i, carry):
+        s, win = carry  # s: [..., 8], win: rolling w window [..., 16]
+        wi = lax.cond(
+            i < 16,
+            lambda: jnp.take(win, i % 16, axis=-1),
+            lambda: _schedule_word(win, i),
+        )
+        a, b, c, d, e, f, g, h = (s[..., k] for k in range(8))
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + K[i] + wi
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        s = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g], axis=-1)
+        win = lax.cond(
+            i < 16, lambda: win,
+            lambda: _win_store(win, i, wi),
+        )
+        return s, win
+
+    def _schedule_word(win, i):
+        w15 = jnp.take(win, (i - 15) % 16, axis=-1)
+        w2 = jnp.take(win, (i - 2) % 16, axis=-1)
+        w16 = jnp.take(win, (i - 16) % 16, axis=-1)
+        w7 = jnp.take(win, (i - 7) % 16, axis=-1)
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> U32(3))
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> U32(10))
+        return w16 + s0 + w7 + s1
+
+    def _win_store(win, i, wi):
+        import jax.numpy as jnp
+
+        onehot = (jnp.arange(16) == (i % 16))
+        return jnp.where(onehot, wi[..., None], win)
+
+    import jax.numpy as jnp
+
+    s, _ = lax.fori_loop(0, 64, round_body, (state.astype(U32), block.astype(U32)))
+    return state + s
 
 
 class MsgLayout:

@@ -189,10 +189,29 @@ def expand_keys_bitsliced(keys_bytes: np.ndarray):
     Returns round-key masks [15, 16, 8, N] uint32 (0 / 0xffffffff): round r,
     byte position p (state indexing), bit b, lane n.
     """
+    return rk_masks_from_packed(_expand_schedule(keys_bytes), keys_bytes.shape[0])
+
+
+def _stack_rk_planes(wb) -> np.ndarray:
+    planes_flat = []
+    for r in range(15):
+        for p in range(16):
+            c, k = p // 4, p % 4
+            for b in range(8):
+                planes_flat.append(wb[4 * r + c][k][b])
+    return np.stack(planes_flat)  # [15*16*8, nw]
+
+
+def expand_keys_packed(keys_bytes: np.ndarray) -> np.ndarray:
+    """Like expand_keys_bitsliced but returns the lane-packed planes
+    [15*16*8, ceil(N/32)] uint32 — ~32x smaller than the mask form, for
+    cheap host->device transfer; unpack on device with
+    rk_masks_from_packed."""
+    return _expand_schedule(keys_bytes)
+
+
+def _expand_schedule(keys_bytes: np.ndarray) -> np.ndarray:
     N = keys_bytes.shape[0]
-    nw = (N + 31) // 32
-    # word i, byte k (k=0 is the big-endian MSB byte = key byte 4i+k),
-    # bit planes packed over lanes: wb[i][k][b] -> uint32 [nw]
     kb = keys_bytes.astype(U32)
     wb = []
     for i in range(8):
@@ -203,11 +222,9 @@ def expand_keys_bitsliced(keys_bytes: np.ndarray):
         wb.append(word)
 
     def subword(word):
-        # stack 4 byte positions: planes [8] of [4, nw]
         planes = [np.stack([word[k][b] for k in range(4)]) for b in range(8)]
         planes = sbox_planes(planes)
-        return [[[planes[b][k] for b in range(8)][bb] for bb in range(8)]
-                for k in range(4)]
+        return [[planes[b][k] for b in range(8)] for k in range(4)]
 
     def rotword(word):
         return [word[1], word[2], word[3], word[0]]
@@ -220,27 +237,22 @@ def expand_keys_bitsliced(keys_bytes: np.ndarray):
             t = [list(tb) for tb in t]
             for b in range(8):
                 if (rcon >> b) & 1:
-                    t[0][b] = ~t[0][b]  # XOR into the MSB byte's plane
+                    t[0][b] = ~t[0][b]
         elif i % 8 == 4:
             t = subword(t)
-        new = [
-            [wb[i - 8][k][b] ^ t[k][b] for b in range(8)]
-            for k in range(4)
-        ]
-        wb.append(new)
+        wb.append(
+            [[wb[i - 8][k][b] ^ t[k][b] for b in range(8)] for k in range(4)]
+        )
+    return _stack_rk_planes(wb)
 
-    # Unpack to per-lane masks: round r, state byte p = 4c + k <- word
-    # 4r + c byte k (see scalar ark()).
-    planes_flat = []
-    for r in range(15):
-        for p in range(16):
-            c, k = p // 4, p % 4
-            for b in range(8):
-                planes_flat.append(wb[4 * r + c][k][b])
-    arr = np.stack(planes_flat)  # [15*16*8, nw]
-    lane = np.arange(N)
-    bit = (arr[:, lane // 32] >> U32(lane % 32)) & U32(1)
-    masks = (np.zeros_like(bit) - bit).astype(U32)  # 0 or 0xffffffff
+
+def rk_masks_from_packed(packed, N: int):
+    """[1920, nw] packed planes -> [15, 16, 8, N] uint32 masks
+    (0 / 0xffffffff).  Works on numpy and jnp (device-side unpack)."""
+    xp = _xp(packed)
+    lane = xp.arange(N)
+    bit = (packed[:, lane // 32] >> (lane % 32).astype(U32)) & U32(1)
+    masks = (xp.zeros_like(bit) - bit).astype(U32)
     return masks.reshape(15, 16, 8, N)
 
 

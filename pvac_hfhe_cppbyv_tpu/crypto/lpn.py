@@ -175,41 +175,54 @@ def derive_keys_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
     return keys, nonces
 
 
-def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
-                    dom_hashes: np.ndarray) -> np.ndarray:
-    """N independent prf_R_core evaluations (host/numpy path).
+def _xp_of(a):
+    if type(a).__module__.startswith("numpy"):
+        return np
+    import jax.numpy as jnp
 
-    seeds_u64: [N, 3] uint64 (ztag, nonce_lo, nonce_hi); dom_hashes [N].
-    Returns [N, 4] uint32 field limbs.
+    return jnp
+
+
+def _xor_reduce_last(x):
+    """XOR-fold over the last axis (size padded to a power of two)."""
+    xp = _xp_of(x)
+    n = x.shape[-1]
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    if p2 != n:
+        pad = xp.zeros((*x.shape[:-1], p2 - n), dtype=x.dtype)
+        x = xp.concatenate([x, pad], axis=-1)
+    while x.shape[-1] > 1:
+        x = x[..., 0::2] ^ x[..., 1::2]
+    return x[..., 0]
+
+
+def cores_from_streams(u64s, top_u, s32_flat, prm):
+    """Shared core math: AES keystreams -> prf_R_core field elements.
+
+    u64s: [N, 2*nblocks, 2] uint32 ybits keystream (lo, hi) halves;
+    top_u: [N, 2, 2] first toep block; s32_flat: [2*s_words64] uint32 LPN
+    secret.  Backend-agnostic (numpy / jnp under jit).  Returns
+    (r_limbs [N, 4], rej [N, rows] bool).
     """
-    prm = pk.prm
-    N = seeds_u64.shape[0]
+    xp = _xp_of(u64s)
+    N = u64s.shape[0]
     rows = _rows_per_core(prm)
     sw64 = prm.s_words64
-    nblocks = n_ybits_blocks(prm)
-
-    keys, nonces = derive_keys_batch(pk, sk, seeds_u64, dom_hashes)
-    toep_keys, toep_base = derive_keys_batch(
-        pk, sk, seeds_u64,
-        np.full(N, DOM_HASH[Dom.TOEP], dtype=np.uint64),
-    )
-    toep_nonces = toep_base ^ dom_hashes
-
-    u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)  # [N, 2*nblocks, 2]
 
     # LPN rows: row r = u64 stream [r*(sw64+1), ...+sw64), noise at +sw64
     stride = sw64 + 1
     row_idx = (np.arange(rows)[:, None] * stride + np.arange(sw64)[None, :])
     rows_u = u64s[:, row_idx, :]  # [N, rows, sw64, 2]
-    s32 = sk.s_words32().reshape(sw64, 2)  # [sw64, 2] uint32
+    s32 = s32_flat.reshape(sw64, 2)
     acc = rows_u & s32[None, None, :, :]
-    folded = np.bitwise_xor.reduce(acc.reshape(N, rows, -1), axis=-1)
-    x = folded
-    x ^= x >> U32(16)
-    x ^= x >> U32(8)
-    x ^= x >> U32(4)
-    x ^= x >> U32(2)
-    x ^= x >> U32(1)
+    x = _xor_reduce_last(acc.reshape(N, rows, 2 * sw64))
+    x = x ^ (x >> U32(16))
+    x = x ^ (x >> U32(8))
+    x = x ^ (x >> U32(4))
+    x = x ^ (x >> U32(2))
+    x = x ^ (x >> U32(1))
     dot = x & U32(1)  # [N, rows]
 
     noise_idx = np.arange(rows) * stride + sw64
@@ -224,27 +237,56 @@ def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
     rej = (nz[..., 1] == U32(0xFFFFFFFF)) & (nz[..., 0] >= U32((1 << 32) - den))
 
     y = dot ^ e  # [N, rows]
-    # pack 127 bits -> [N, 4] uint32
-    y4 = np.zeros((N, 4), dtype=U32)
+    # pack 127 bits -> [N, 4] uint32 (shifted bits are disjoint: XOR-fold)
+    cols = []
     for k in range(4):
         lo, hi_ = 32 * k, min(32 * (k + 1), rows)
         if lo >= rows:
-            break
+            cols.append(xp.zeros((N,), dtype=U32))
+            continue
         chunk = y[:, lo:hi_]
-        sh = np.arange(hi_ - lo, dtype=U32)
-        y4[:, k] = (chunk << sh).sum(axis=-1, dtype=np.uint64).astype(U32)
+        sh = xp.arange(hi_ - lo, dtype=U32)
+        cols.append(_xor_reduce_last(chunk << sh))
+    y4 = xp.stack(cols, axis=-1)
 
-    # toep top: first AES block of the TOEP stream = bits 0..127
-    top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)  # [N, 2, 2]
-    top4 = np.stack(
+    top4 = xp.stack(
         [top_u[:, 0, 0], top_u[:, 0, 1], top_u[:, 1, 0], top_u[:, 1, 1]],
         axis=-1,
     )
 
     out127 = TOEP.conv127(y4, top4)  # [N, 4], bits 0..126
     r = FV.canon(out127)
-    one = np.broadcast_to(np.array([1, 0, 0, 0], dtype=U32), r.shape)
+    one = xp.broadcast_to(xp.asarray([1, 0, 0, 0], dtype=U32), r.shape)
     r = FV.select(FV.is_zero(r), one, r)
+    return r, rej
+
+
+def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                    dom_hashes: np.ndarray) -> np.ndarray:
+    """N independent prf_R_core evaluations (host/numpy path).
+
+    seeds_u64: [N, 3] uint64 (ztag, nonce_lo, nonce_hi); dom_hashes [N].
+    Returns [N, 4] uint32 field limbs.
+    """
+    prm = pk.prm
+    N = seeds_u64.shape[0]
+    nblocks = n_ybits_blocks(prm)
+
+    keys, nonces = derive_keys_batch(pk, sk, seeds_u64, dom_hashes)
+    toep_keys, toep_base = derive_keys_batch(
+        pk, sk, seeds_u64,
+        np.full(N, DOM_HASH[Dom.TOEP], dtype=np.uint64),
+    )
+    toep_nonces = toep_base ^ dom_hashes
+
+    engine = getattr(pk, "_engine", None)
+    if engine is not None and engine.s32_dev is not None:
+        r, rej_any = engine.prf_cores(keys, nonces, toep_keys, toep_nonces)
+        rej = rej_any[:, None]
+    else:
+        u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)  # [N, 2*nb, 2]
+        top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)  # [N, 2, 2]
+        r, rej = cores_from_streams(u64s, top_u, sk.s_words32().reshape(-1), prm)
 
     # exact fallback for bounded-rejection lanes (probability ~ rows*den/2^64)
     if rej.any():

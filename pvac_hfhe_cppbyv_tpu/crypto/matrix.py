@@ -149,20 +149,24 @@ def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarr
     words[:, 4] = idx
     words[:, 5] = ch
     words[:, 6] = salt
-    lanes = np.stack(
-        [(words & np.uint64(0xFFFFFFFF)).astype(U32),
-         (words >> np.uint64(32)).astype(U32)],
-        axis=-1,
-    )
-    cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
-    noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
-    fb = fb1 | fb2
-    # XOR of the selected H columns
-    sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
-    # XOR of err_wt unique single bits (unique => OR == XOR)
-    eids = np.repeat(np.arange(E), prm.err_wt)
-    r = noise.reshape(-1)
-    np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
+    engine = getattr(pk, "_engine", None)
+    if engine is not None and engine.H_dev is not None:
+        sig, fb = engine.sigma(words)
+    else:
+        lanes = np.stack(
+            [(words & np.uint64(0xFFFFFFFF)).astype(U32),
+             (words >> np.uint64(32)).astype(U32)],
+            axis=-1,
+        )
+        cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
+        noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
+        fb = fb1 | fb2
+        # XOR of the selected H columns
+        sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
+        # XOR of err_wt unique single bits (unique => OR == XOR)
+        eids = np.repeat(np.arange(E), prm.err_wt)
+        r = noise.reshape(-1)
+        np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
     if fb.any():
         for e in np.nonzero(fb)[0]:
             w = [int(words[e, j]) for j in range(7)]

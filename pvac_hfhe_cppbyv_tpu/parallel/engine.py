@@ -1,0 +1,174 @@
+"""Device engine: jitted TPU pipelines for the scheme's hot paths.
+
+Attach an engine to a public key with :func:`enable_device` and every
+operation (enc/dec/mul/recrypt/text) transparently routes its bulk compute —
+AES-CTR keystreams + LPN + Toeplitz (prf_R cores) and SHA-CTR + H-gather
+(σ generation) — through jitted XLA programs on the attached devices, while
+the host keeps key derivation, layer bookkeeping and field-scalar glue.
+
+Shapes are static per jit cache entry; lane counts are padded to the next
+power of two (min 32) to bound recompilation.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import hash as H
+from ..crypto import aesv, lpn, shactr
+from ..types import PubKey, SecKey
+
+U32 = np.uint32
+
+
+def _pad_pow2(n: int, lo: int = 32) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class DeviceEngine:
+    """Holds device-resident key material and jit caches for one (pk, sk).
+
+    sk material on device is limited to the LPN secret bit-vector (needed by
+    the row-parity kernel); AES round keys are expanded host-side per call
+    and shipped in packed (lane-compressed) form.
+    """
+
+    def __init__(self, pk: PubKey, sk: SecKey | None = None, device=None):
+        self.pk = pk
+        self.prm = pk.prm
+        self.device = device or jax.devices()[0]
+        self.H_dev = (
+            jax.device_put(pk.H, self.device) if pk.H is not None else None
+        )
+        self.s32_dev = (
+            jax.device_put(sk.s_words32().reshape(-1), self.device)
+            if sk is not None else None
+        )
+        self._prf_fn_cache = {}
+        self._sigma_fn_cache = {}
+
+    # ------------------------------------------------------------------
+    # prf_R cores
+    # ------------------------------------------------------------------
+
+    def _prf_fn(self, n_pad: int):
+        fn = self._prf_fn_cache.get(n_pad)
+        if fn is not None:
+            return fn
+        prm = self.prm
+        nblocks = lpn.n_ybits_blocks(prm)
+
+        def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
+            rk = aesv.rk_masks_from_packed(rk_packed, n_pad)
+            planes = aesv.counters_to_planes(nlo, nhi, nblocks)
+            out = aesv.encrypt_planes(rk, planes)
+            words = aesv.planes_to_words(out, nblocks)  # [N, B, 4]
+            lo = words[:, :, 0::2].reshape(n_pad, -1)
+            hi = words[:, :, 1::2].reshape(n_pad, -1)
+            u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
+
+            trk = aesv.rk_masks_from_packed(trk_packed, n_pad)
+            tplanes = aesv.counters_to_planes(tnlo, tnhi, 1)
+            tout = aesv.encrypt_planes(trk, tplanes)
+            twords = aesv.planes_to_words(tout, 1)  # [N, 1, 4]
+            tlo = twords[:, :, 0::2].reshape(n_pad, -1)
+            thi = twords[:, :, 1::2].reshape(n_pad, -1)
+            top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
+
+            r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
+            return r, rej.any(axis=-1)
+
+        fn = jax.jit(run, device=self.device)
+        self._prf_fn_cache[n_pad] = fn
+        return fn
+
+    def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
+                  toep_keys: np.ndarray, toep_nonces: np.ndarray):
+        """[N,32] u8 keys + [N] u64 nonces (x2 for toep) -> (limbs [N,4]
+        numpy, rej [N] bool numpy)."""
+        N = keys.shape[0]
+        n_pad = _pad_pow2(N)
+
+        def prep(kb, nn):
+            kb_p = np.zeros((n_pad, 32), dtype=np.uint8)
+            kb_p[:N] = kb
+            rk = aesv.expand_keys_packed(kb_p)
+            nlo = np.zeros(n_pad, dtype=U32)
+            nhi = np.zeros(n_pad, dtype=U32)
+            nlo[:N] = (nn & np.uint64(0xFFFFFFFF)).astype(U32)
+            nhi[:N] = (nn >> np.uint64(32)).astype(U32)
+            return rk, nlo, nhi
+
+        rk, nlo, nhi = prep(keys, nonces)
+        trk, tnlo, tnhi = prep(toep_keys, toep_nonces)
+        r, rej = self._prf_fn(n_pad)(rk, nlo, nhi, trk, tnlo, tnhi, self.s32_dev)
+        return np.asarray(r)[:N], np.asarray(rej)[:N]
+
+    # ------------------------------------------------------------------
+    # σ generation
+    # ------------------------------------------------------------------
+
+    def _sigma_fn(self, n_pad: int):
+        fn = self._sigma_fn_cache.get(n_pad)
+        if fn is not None:
+            return fn
+        prm = self.prm
+
+        def run(H, lanes):
+            cols, fb1 = shactr.choose_k_batch(
+                prm.x_col_wt, prm.n_bits, "pvac.dom.x_seed", lanes
+            )
+            noise, fb2 = shactr.choose_k_batch(
+                prm.err_wt, prm.m_bits, "pvac.dom.noise", lanes
+            )
+            gath = H[cols]  # [N, x_col_wt, mw]
+            sig = lpn._xor_reduce_last(
+                jnp.swapaxes(gath, 1, 2)
+            )  # fold over columns -> [N, mw]
+            # scatter err bits (unique indices -> disjoint bits -> add==xor)
+            word = noise // 32
+            bit = (noise % 32).astype(U32)
+            masks = (U32(1) << bit).astype(U32)
+            eids = jnp.broadcast_to(
+                jnp.arange(n_pad)[:, None], noise.shape
+            )
+            sig = sig.at[eids, word].add(masks)
+            return sig, fb1 | fb2
+
+        fn = jax.jit(run, device=self.device)
+        self._sigma_fn_cache[n_pad] = fn
+        return fn
+
+    def sigma(self, words: np.ndarray):
+        """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32 numpy,
+        fallback [E] bool numpy)."""
+        E = words.shape[0]
+        n_pad = _pad_pow2(E)
+        wp = np.zeros((n_pad, 7), dtype=np.uint64)
+        wp[:E] = words
+        lanes = np.stack(
+            [(wp & np.uint64(0xFFFFFFFF)).astype(U32),
+             (wp >> np.uint64(32)).astype(U32)],
+            axis=-1,
+        )
+        sig, fb = self._sigma_fn(n_pad)(self.H_dev, jnp.asarray(lanes))
+        return np.asarray(sig)[:E], np.asarray(fb)[:E]
+
+
+def enable_device(pk: PubKey, sk: SecKey | None = None, device=None) -> DeviceEngine:
+    """Attach a DeviceEngine to pk; ops route hot kernels through it."""
+    eng = DeviceEngine(pk, sk, device)
+    pk._engine = eng
+    return eng
+
+
+def disable_device(pk: PubKey) -> None:
+    if hasattr(pk, "_engine"):
+        del pk._engine
