@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: homomorphic op throughput on the attached accelerator.
+
+Primary metric: ct_mul operations/second (fresh x fresh, default Params,
+real end-to-end products incl. σ regeneration), vs the reference C++
+implementation's measured 155 ms/op (BASELINE.md) => baseline 6.45 ops/s.
+
+Also measured and reported on stderr: enc_value ct/s (reference ~12.5/s)
+and batched dec_value ct/s (reference ~58/s).
+
+Prints exactly ONE JSON line on stdout.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pvac_jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/pvac_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import pvac_hfhe_cppbyv_tpu as pvac
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import enable_device
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    quick = os.environ.get("PVAC_BENCH_QUICK") == "1"
+    prm = pvac.small_test_params() if quick else pvac.Params()
+
+    t0 = time.time()
+    pk, sk = pvac.keygen(prm)
+    log(f"keygen: {time.time()-t0:.1f}s")
+    enable_device(pk, sk, device=dev)
+
+    ENC_BATCH = 16 if quick else 32
+    MUL_BATCH = 8 if quick else 16
+
+    # ---- encryption ----
+    t0 = time.time()
+    cts = pvac.enc_value_batch(pk, sk, list(range(ENC_BATCH)))
+    log(f"enc warmup (compile): {time.time()-t0:.1f}s")
+    reps = 2 if quick else 3
+    t0 = time.time()
+    for r in range(reps):
+        cts = pvac.enc_value_batch(pk, sk, list(range(ENC_BATCH)))
+    enc_per_s = reps * ENC_BATCH / (time.time() - t0)
+    log(f"enc_value: {enc_per_s:.1f} ct/s  (ref ~12.5/s -> {enc_per_s/12.5:.1f}x)")
+
+    # ---- decryption (batched) ----
+    t0 = time.time()
+    vals = pvac.dec_value_batch(pk, sk, cts)
+    dec_warm = time.time() - t0
+    assert vals == list(range(ENC_BATCH)), "decrypt mismatch!"
+    t0 = time.time()
+    vals = pvac.dec_value_batch(pk, sk, cts)
+    dec_per_s = ENC_BATCH / (time.time() - t0)
+    log(f"dec_value: {dec_per_s:.1f} ct/s (warm {dec_warm:.1f}s)")
+
+    # ---- ct_mul ----
+    pairs = [(cts[2 * i], cts[2 * i + 1]) for i in range(ENC_BATCH // 2)]
+    while len(pairs) < MUL_BATCH:
+        pairs = pairs + pairs
+    pairs = pairs[:MUL_BATCH]
+    t0 = time.time()
+    prods = pvac.ct_mul_batch(pk, pairs)
+    log(f"mul warmup (compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    prods = pvac.ct_mul_batch(pk, pairs)
+    mul_elapsed = time.time() - t0
+    mul_per_s = MUL_BATCH / mul_elapsed
+    # correctness spot-check
+    got = pvac.dec_value_batch(pk, sk, prods[:2])
+    want = [
+        pvac.dec_value(pk, sk, a) * pvac.dec_value(pk, sk, b) % pvac.P
+        for a, b in pairs[:2]
+    ]
+    assert got == want, f"ct_mul decrypt mismatch {got} != {want}"
+    log(f"ct_mul: {mul_per_s:.2f} ops/s  (ref 6.45/s -> {mul_per_s/6.45:.1f}x)")
+
+    print(json.dumps({
+        "metric": "ct_mul_throughput",
+        "value": round(mul_per_s, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(mul_per_s / 6.45, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

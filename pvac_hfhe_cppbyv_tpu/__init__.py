@@ -45,8 +45,10 @@ from .ops.encrypt import (
     prf_noise_delta, enc_fp_depth, enc_fp_depth_batch, combine_ciphers,
     enc_value, enc_value_depth, enc_value_batch, enc_zero_depth,
 )
-from .ops.decrypt import dec_value, layer_R
-from .ops.arithmetic import ct_add, ct_sub, ct_neg, ct_scale, ct_mul, ct_div_const
+from .ops.decrypt import dec_value, dec_value_batch, layer_R
+from .ops.arithmetic import (
+    ct_add, ct_sub, ct_neg, ct_scale, ct_mul, ct_mul_batch, ct_div_const,
+)
 from .ops.recrypt import make_evalkey, ct_recrypt, sigma_needs_balance
 from .ops.commit import commit_ct
 from .utils.text import enc_text, dec_text, pack_15_bytes_to_fp, unpack_fp_to_15_bytes

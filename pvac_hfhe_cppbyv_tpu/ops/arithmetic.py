@@ -47,8 +47,45 @@ def ct_div_const(pk: PubKey, A: Cipher, k: int) -> Cipher:
     return ct_scale(pk, A, F.fp_inv(k))
 
 
-def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
-    """Edge cross product with PROD layer grid (arithmetic.hpp:47-106)."""
+def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]:
+    """Batched ct_mul: all output edges of all pairs share one σ-generation
+    batch (one device call instead of one per product)."""
+    staged = [_ct_mul_stage(pk, A, B) for A, B in pairs]
+    counts = [len(s["out_lid"]) for s in staged]
+    if sum(counts):
+        zt = np.concatenate([s["zt"] for s in staged])
+        nlo = np.concatenate([s["nlo"] for s in staged])
+        nhi = np.concatenate([s["nhi"] for s in staged])
+        idxs = np.concatenate(
+            [np.asarray(s["out_idx"], dtype=np.uint64) for s in staged])
+        chs = np.concatenate(
+            [np.asarray(s["out_ch"], dtype=np.uint64) for s in staged])
+        salts = np.array([csprng_u64() for _ in range(int(sum(counts)))],
+                         dtype=np.uint64)
+        sig_all = matrix.sigma_words(pk, zt, nlo, nhi, idxs, chs, salts)
+    out = []
+    off = 0
+    for s, n in zip(staged, counts):
+        mw = pk.prm.sigma_words32
+        sig = sig_all[off : off + n] if n else np.zeros((0, mw), dtype=U32)
+        off += n
+        C = Cipher(
+            s["layers"],
+            np.asarray(s["out_lid"], dtype=np.int32),
+            np.asarray(s["out_idx"], dtype=np.int32),
+            np.asarray(s["out_ch"], dtype=np.int8),
+            FV.from_ints(s["out_w"]) if s["out_w"] else np.zeros((0, 4), dtype=U32),
+            sig,
+        )
+        guard_budget(pk, C, "mul")
+        compact_layers(C)
+        out.append(C)
+    return out
+
+
+def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
+    """Everything in ct_mul except σ generation; returns the staged edge
+    set + σ request fields."""
     LA, LB = A.n_layers, B.n_layers
     layers = [Layer(L.rule, L.seed, L.pa, L.pb) for L in A.layers]
     off = LA
@@ -112,28 +149,18 @@ def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
         out_ch.append(SGN_P if (k & 1) == 0 else SGN_M)
         out_w.append(w)
 
-    mw = pk.prm.sigma_words32
-    if out_lid:
-        zt = np.array([layers[l].seed.ztag for l in out_lid], dtype=np.uint64)
-        nlo = np.array([layers[l].seed.nonce.lo for l in out_lid], dtype=np.uint64)
-        nhi = np.array([layers[l].seed.nonce.hi for l in out_lid], dtype=np.uint64)
-        salts = np.array([csprng_u64() for _ in out_lid], dtype=np.uint64)
-        sig = matrix.sigma_words(
-            pk, zt, nlo, nhi,
-            np.asarray(out_idx, dtype=np.uint64),
-            np.asarray(out_ch, dtype=np.uint64), salts,
-        )
-    else:
-        sig = np.zeros((0, mw), dtype=U32)
+    return {
+        "layers": layers,
+        "out_lid": out_lid,
+        "out_idx": out_idx,
+        "out_ch": out_ch,
+        "out_w": out_w,
+        "zt": np.array([layers[l].seed.ztag for l in out_lid], dtype=np.uint64),
+        "nlo": np.array([layers[l].seed.nonce.lo for l in out_lid], dtype=np.uint64),
+        "nhi": np.array([layers[l].seed.nonce.hi for l in out_lid], dtype=np.uint64),
+    }
 
-    C = Cipher(
-        layers,
-        np.asarray(out_lid, dtype=np.int32),
-        np.asarray(out_idx, dtype=np.int32),
-        np.asarray(out_ch, dtype=np.int8),
-        FV.from_ints(out_w) if out_w else np.zeros((0, 4), dtype=U32),
-        sig,
-    )
-    guard_budget(pk, C, "mul")
-    compact_layers(C)
-    return C
+
+def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
+    """Edge cross product with PROD layer grid (arithmetic.hpp:47-106)."""
+    return ct_mul_batch(pk, [(A, B)])[0]

@@ -57,25 +57,83 @@ def layer_R(pk: PubKey, sk: SecKey, C: Cipher) -> list[int]:
     return Rs
 
 
+def _limbs_to_int(a) -> int:
+    return (int(a[0]) + (int(a[1]) << 32) + (int(a[2]) << 64)
+            + (int(a[3]) << 96)) % F.P
+
+
 def dec_value(pk: PubKey, sk: SecKey, C: Cipher) -> int:
     """dec_value (decrypt.hpp:62-89) -> field element as Python int."""
-    if C.n_edges == 0:
-        return 0
-    Rs = layer_R(pk, sk, C)
-    Rinv = FV.inv(FV.from_ints(Rs))  # [L, 4]
+    return dec_value_batch(pk, sk, [C])[0]
 
-    powg = pk.powg_limbs()  # [B, 4]
-    terms = FV.mul(C.w, powg[C.idx])
-    terms = FV.mul(terms, Rinv[C.layer_id])
 
-    # signed sum: limb-wise uint64 accumulation (E < 2^19 addends per limb
-    # fits easily), final reduction in Python
-    pos = C.ch == SGN_P
-    accP = terms[pos].astype(np.uint64).sum(axis=0)
-    accM = terms[~pos].astype(np.uint64).sum(axis=0)
+def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
+    """Batched decryption: all ciphertexts' BASE-layer PRFs run in one
+    batch, inverses in one limb kernel, edge sums as numpy segment math."""
+    # gather all BASE seeds
+    reqs = []
+    spans = []
+    for C in cts:
+        ids = [lid for lid in range(C.n_layers)
+               if C.layers[lid].rule == RRULE_BASE]
+        spans.append(ids)
+        for lid in ids:
+            s = C.layers[lid].seed
+            reqs.append([s.ztag, s.nonce.lo, s.nonce.hi])
+    base_vals: list[int] = []
+    if reqs:
+        base_vals = FV.to_ints(
+            lpn.prf_R_batch(pk, sk, np.asarray(reqs, dtype=np.uint64))
+        )
 
-    def limbs_to_int(a) -> int:
-        return (int(a[0]) + (int(a[1]) << 32) + (int(a[2]) << 64)
-                + (int(a[3]) << 96)) % F.P
+    out = []
+    off = 0
+    all_Rs = []
+    for C, ids in zip(cts, spans):
+        L = C.n_layers
+        Rs: list = [None] * L
+        for lid in ids:
+            Rs[lid] = base_vals[off]
+            off += 1
+        visiting = [False] * L
 
-    return F.fp_sub(limbs_to_int(accP), limbs_to_int(accM))
+        def resolve(lid: int, C=C, Rs=Rs, visiting=visiting) -> int:
+            if lid >= C.n_layers:
+                raise ValueError("[R] layer id out of range")
+            if Rs[lid] is not None:
+                return Rs[lid]
+            if visiting[lid]:
+                raise ValueError("[R] cycle")
+            visiting[lid] = True
+            Lr = C.layers[lid]
+            R = F.fp_mul(resolve(Lr.pa), resolve(Lr.pb))
+            visiting[lid] = False
+            Rs[lid] = R
+            return R
+
+        for lid in range(L):
+            resolve(lid)
+        all_Rs.append(Rs)
+
+    # one batched inversion across all layers of all cts
+    flat = [r for Rs in all_Rs for r in Rs]
+    if flat:
+        Rinv_flat = FV.inv(FV.from_ints(flat))
+    offs = 0
+    for C, Rs in zip(cts, all_Rs):
+        L = len(Rs)
+        Rinv = Rinv_flat[offs : offs + L]
+        offs += L
+        if C.n_edges == 0:
+            out.append(0)
+            continue
+        powg = pk.powg_limbs()  # [B, 4]
+        terms = FV.mul(C.w, powg[C.idx])
+        terms = FV.mul(terms, Rinv[C.layer_id])
+        # signed sum: limb-wise uint64 accumulation (< 2^19 addends per
+        # limb fits easily), final reduction in Python
+        pos = C.ch == SGN_P
+        accP = terms[pos].astype(np.uint64).sum(axis=0)
+        accM = terms[~pos].astype(np.uint64).sum(axis=0)
+        out.append(F.fp_sub(_limbs_to_int(accP), _limbs_to_int(accM)))
+    return out

@@ -32,6 +32,37 @@ def _pad_pow2(n: int, lo: int = 32) -> int:
     return p
 
 
+def prf_program(prm, n_lanes: int):
+    """The single-chip prf_R-core forward program (jittable, pure).
+
+    (rk_packed [1920, n/32], nlo, nhi [n], trk_packed, tnlo, tnhi, s32
+    [2*s_words64]) -> (field limbs [n, 4], rejection flags [n]).
+    """
+    nblocks = lpn.n_ybits_blocks(prm)
+
+    def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
+        rk = aesv.rk_masks_from_packed(rk_packed, n_lanes)
+        planes = aesv.counters_to_planes(nlo, nhi, nblocks)
+        out = aesv.encrypt_planes(rk, planes)
+        words = aesv.planes_to_words(out, nblocks)  # [N, B, 4]
+        lo = words[:, :, 0::2].reshape(n_lanes, -1)
+        hi = words[:, :, 1::2].reshape(n_lanes, -1)
+        u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
+
+        trk = aesv.rk_masks_from_packed(trk_packed, n_lanes)
+        tplanes = aesv.counters_to_planes(tnlo, tnhi, 1)
+        tout = aesv.encrypt_planes(trk, tplanes)
+        twords = aesv.planes_to_words(tout, 1)  # [N, 1, 4]
+        tlo = twords[:, :, 0::2].reshape(n_lanes, -1)
+        thi = twords[:, :, 1::2].reshape(n_lanes, -1)
+        top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
+
+        r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
+        return r, rej.any(axis=-1)
+
+    return run
+
+
 class DeviceEngine:
     """Holds device-resident key material and jit caches for one (pk, sk).
 
@@ -62,30 +93,7 @@ class DeviceEngine:
         fn = self._prf_fn_cache.get(n_pad)
         if fn is not None:
             return fn
-        prm = self.prm
-        nblocks = lpn.n_ybits_blocks(prm)
-
-        def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
-            rk = aesv.rk_masks_from_packed(rk_packed, n_pad)
-            planes = aesv.counters_to_planes(nlo, nhi, nblocks)
-            out = aesv.encrypt_planes(rk, planes)
-            words = aesv.planes_to_words(out, nblocks)  # [N, B, 4]
-            lo = words[:, :, 0::2].reshape(n_pad, -1)
-            hi = words[:, :, 1::2].reshape(n_pad, -1)
-            u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
-
-            trk = aesv.rk_masks_from_packed(trk_packed, n_pad)
-            tplanes = aesv.counters_to_planes(tnlo, tnhi, 1)
-            tout = aesv.encrypt_planes(trk, tplanes)
-            twords = aesv.planes_to_words(tout, 1)  # [N, 1, 4]
-            tlo = twords[:, :, 0::2].reshape(n_pad, -1)
-            thi = twords[:, :, 1::2].reshape(n_pad, -1)
-            top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
-
-            r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
-            return r, rej.any(axis=-1)
-
-        fn = jax.jit(run, device=self.device)
+        fn = jax.jit(prf_program(self.prm, n_pad), device=self.device)
         self._prf_fn_cache[n_pad] = fn
         return fn
 
