@@ -206,7 +206,12 @@ def expand_keys_packed(keys_bytes: np.ndarray) -> np.ndarray:
     """Like expand_keys_bitsliced but returns the lane-packed planes
     [15*16*8, ceil(N/32)] uint32 — ~32x smaller than the mask form, for
     cheap host->device transfer; unpack on device with
-    rk_masks_from_packed."""
+    rk_masks_from_packed.  Uses the native C++ schedule when available."""
+    from .. import native
+
+    out = native.expand_keys_packed(keys_bytes)
+    if out is not None:
+        return out
     return _expand_schedule(keys_bytes)
 
 

@@ -284,8 +284,16 @@ def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
         r, rej_any = engine.prf_cores(keys, nonces, toep_keys, toep_nonces)
         rej = rej_any[:, None]
     else:
-        u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)  # [N, 2*nb, 2]
-        top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)  # [N, 2, 2]
+        from .. import native
+
+        ks = native.aes256_ctr(keys, nonces, nblocks)
+        if ks is not None:
+            u64s = ks.view(U32).reshape(N, 2 * nblocks, 2)
+            top_u = native.aes256_ctr(toep_keys, toep_nonces, 1).view(
+                U32).reshape(N, 2, 2)
+        else:
+            u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)
+            top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)
         r, rej = cores_from_streams(u64s, top_u, sk.s_words32().reshape(-1), prm)
 
     # exact fallback for bounded-rejection lanes (probability ~ rows*den/2^64)

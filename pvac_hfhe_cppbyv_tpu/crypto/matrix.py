@@ -153,14 +153,22 @@ def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarr
     if engine is not None and engine.H_dev is not None:
         sig, fb = engine.sigma(words)
     else:
-        lanes = np.stack(
-            [(words & np.uint64(0xFFFFFFFF)).astype(U32),
-             (words >> np.uint64(32)).astype(U32)],
-            axis=-1,
-        )
-        cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
-        noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
-        fb = fb1 | fb2
+        from .. import native
+
+        cols = native.choose_k(Dom.X_SEED.encode(), words, prm.x_col_wt, prm.n_bits)
+        noise = (None if cols is None else
+                 native.choose_k(Dom.NOISE.encode(), words, prm.err_wt, prm.m_bits))
+        if noise is not None:
+            fb = np.zeros(E, dtype=bool)  # native path handles rejections
+        else:
+            lanes = np.stack(
+                [(words & np.uint64(0xFFFFFFFF)).astype(U32),
+                 (words >> np.uint64(32)).astype(U32)],
+                axis=-1,
+            )
+            cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
+            noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
+            fb = fb1 | fb2
         # XOR of the selected H columns
         sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
         # XOR of err_wt unique single bits (unique => OR == XOR)

@@ -141,22 +141,69 @@ def _get_cipher(r: _R) -> Cipher:
 
 
 def save_cts(cts: list[Cipher], path: str) -> None:
-    w = _W()
-    w.u32(MAGIC_CT)
-    w.u32(VER)
-    w.u64(len(cts))
+    from .. import native
+
+    parts = [struct.pack("<IIQ", MAGIC_CT, VER, len(cts))]
+    use_native = native.lib() is not None
     for c in cts:
-        _put_cipher(w, c)
+        enc = None
+        if use_native:
+            layers = np.zeros((c.n_layers, 5), dtype=np.uint64)
+            for i, L in enumerate(c.layers):
+                layers[i, 0] = L.rule
+                if L.rule == RRULE_BASE:
+                    layers[i, 1] = L.seed.ztag
+                    layers[i, 2] = L.seed.nonce.lo
+                    layers[i, 3] = L.seed.nonce.hi
+                else:
+                    layers[i, 4] = (L.pa << 32) | L.pb
+            wlo, whi = FV.to_u64_pairs(c.w)
+            w2 = np.stack([wlo, whi], axis=-1)
+            sig64 = BV.to_u64_words(c.sigma)
+            enc = native.ct_encode_one(
+                layers, c.layer_id, c.idx, c.ch, w2, sig64,
+                c.sigma.shape[1] * 32,
+            )
+        if enc is None:
+            w = _W()
+            _put_cipher(w, c)
+            enc = w.bytes()
+        parts.append(enc)
     with open(path, "wb") as f:
-        f.write(w.bytes())
+        f.write(b"".join(parts))
 
 
 def load_cts(path: str) -> list[Cipher]:
+    from .. import native
+
     with open(path, "rb") as f:
-        r = _R(f.read())
+        data = f.read()
+    r = _R(data)
     if r.u32() != MAGIC_CT or r.u32() != VER:
         raise ValueError(f"bad CT: {path}")
-    return [_get_cipher(r) for _ in range(r.u64())]
+    count = r.u64()
+    decoded = native.ct_decode_all(data, count)
+    if decoded is not None:
+        out = []
+        for d in decoded:
+            layers = []
+            for row in d["layers"]:
+                rule = int(row[0])
+                if rule == RRULE_PROD:
+                    layers.append(Layer(rule, RSeed(0, Nonce128(0, 0)),
+                                        int(row[4] >> 32),
+                                        int(row[4] & 0xFFFFFFFF)))
+                else:
+                    layers.append(Layer(rule, RSeed(int(row[1]),
+                                                    Nonce128(int(row[2]), int(row[3])))))
+            out.append(Cipher(
+                layers, d["lid"], d["idx"], d["ch"],
+                FV.from_u64_pairs(d["w"][:, 0], d["w"][:, 1]),
+                BV.from_u64_words(d["sigma"]) if d["sigma"].shape[1] else
+                np.zeros((d["lid"].shape[0], 0), dtype=np.uint32),
+            ))
+        return out
+    return [_get_cipher(r) for _ in range(count)]
 
 
 def save_sk(sk: SecKey, path: str) -> None:

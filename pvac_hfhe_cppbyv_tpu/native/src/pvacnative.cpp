@@ -1,0 +1,633 @@
+// pvacnative — native runtime for the TPU-native PVAC-HFHE framework.
+//
+// C++17, no external dependencies, exposed through a C ABI consumed via
+// ctypes.  Provides the host-side hot paths that complement the JAX/TPU
+// compute path:
+//   - bit-exact .ct serialization codec (SoA edge tables <-> wire bytes)
+//   - AES-256-CTR keystream engine (AES-NI when available, portable
+//     table-based fallback) — reference semantics (lpn.hpp:41-149)
+//   - SHA-256 and multi-lane SHA-256-CTR index streams (prg_choose_k
+//     semantics, matrix.hpp:15-92)
+//   - F_p bucket reduction (sum of 4x32-limb values mod 2^127-1)
+//
+// This is an independent implementation written against the wire/format
+// semantics documented in SURVEY.md — not a copy of the reference headers.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#if defined(__AES__) && defined(__SSE2__)
+#include <wmmintrin.h>
+#include <emmintrin.h>
+#define PVACN_AESNI 1
+#else
+#define PVACN_AESNI 0
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SHA-256
+// ---------------------------------------------------------------------------
+
+static const uint32_t SHA_K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+static inline uint32_t rotr32(uint32_t x, int n) {
+    return (x >> n) | (x << (32 - n));
+}
+
+struct ShaCtx {
+    uint32_t h[8];
+    uint64_t len = 0;
+    uint8_t buf[64];
+    size_t ptr = 0;
+};
+
+static void sha_init(ShaCtx& c) {
+    static const uint32_t H0[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
+                                   0xa54ff53a, 0x510e527f, 0x9b05688c,
+                                   0x1f83d9ab, 0x5be0cd19};
+    memcpy(c.h, H0, sizeof H0);
+    c.len = 0;
+    c.ptr = 0;
+}
+
+static void sha_block(uint32_t h[8], const uint8_t* p) {
+    uint32_t w[64];
+    for (int i = 0; i < 16; i++)
+        w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16) |
+               ((uint32_t)p[4 * i + 2] << 8) | p[4 * i + 3];
+    for (int i = 16; i < 64; i++) {
+        uint32_t s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3);
+        uint32_t s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10);
+        w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = h[0], b = h[1], cc = h[2], d = h[3], e = h[4], f = h[5],
+             g = h[6], hh = h[7];
+    for (int i = 0; i < 64; i++) {
+        uint32_t S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+        uint32_t ch = (e & f) ^ (~e & g);
+        uint32_t t1 = hh + S1 + ch + SHA_K[i] + w[i];
+        uint32_t S0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+        uint32_t mj = (a & b) ^ (a & cc) ^ (b & cc);
+        uint32_t t2 = S0 + mj;
+        hh = g; g = f; f = e; e = d + t1; d = cc; cc = b; b = a; a = t1 + t2;
+    }
+    h[0] += a; h[1] += b; h[2] += cc; h[3] += d;
+    h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+}
+
+static void sha_update(ShaCtx& c, const void* data, size_t n) {
+    const uint8_t* p = (const uint8_t*)data;
+    c.len += n;
+    while (n) {
+        size_t take = 64 - c.ptr;
+        if (take > n) take = n;
+        memcpy(c.buf + c.ptr, p, take);
+        c.ptr += take;
+        p += take;
+        n -= take;
+        if (c.ptr == 64) { sha_block(c.h, c.buf); c.ptr = 0; }
+    }
+}
+
+static void sha_final(ShaCtx& c, uint8_t out[32]) {
+    uint64_t bits = c.len * 8;
+    uint8_t pad = 0x80;
+    sha_update(c, &pad, 1);
+    uint8_t z = 0;
+    while (c.ptr != 56) sha_update(c, &z, 1);
+    uint8_t be[8];
+    for (int i = 0; i < 8; i++) be[7 - i] = (uint8_t)(bits >> (8 * i));
+    sha_update(c, be, 8);
+    for (int i = 0; i < 8; i++) {
+        out[4 * i] = (uint8_t)(c.h[i] >> 24);
+        out[4 * i + 1] = (uint8_t)(c.h[i] >> 16);
+        out[4 * i + 2] = (uint8_t)(c.h[i] >> 8);
+        out[4 * i + 3] = (uint8_t)c.h[i];
+    }
+}
+
+void pvacn_sha256(const uint8_t* data, uint64_t n, uint8_t out[32]) {
+    ShaCtx c;
+    sha_init(c);
+    sha_update(c, data, n);
+    sha_final(c, out);
+}
+
+// Multi-lane SHA-256-CTR u64 streams: for each lane l, refill c yields
+// SHA-256(label || le64(words[l])... || le64(c)) read as 4 LE u64s.
+void pvacn_shactr_streams(
+    const uint8_t* label, uint64_t label_len,
+    const uint64_t* words, uint64_t n_words,
+    uint64_t n_lanes, uint64_t n_u64,
+    uint64_t* out /* [n_lanes, n_u64] */) {
+    uint64_t n_refills = (n_u64 + 3) / 4;
+    for (uint64_t l = 0; l < n_lanes; l++) {
+        uint64_t pos = 0;
+        for (uint64_t c = 0; c < n_refills; c++) {
+            ShaCtx s;
+            sha_init(s);
+            sha_update(s, label, label_len);
+            for (uint64_t wI = 0; wI < n_words; wI++) {
+                uint64_t x = words[l * n_words + wI];
+                uint8_t b[8];
+                for (int i = 0; i < 8; i++) b[i] = (uint8_t)(x >> (8 * i));
+                sha_update(s, b, 8);
+            }
+            uint8_t cb[8];
+            for (int i = 0; i < 8; i++) cb[i] = (uint8_t)(c >> (8 * i));
+            sha_update(s, cb, 8);
+            uint8_t d[32];
+            sha_final(s, d);
+            for (int j = 0; j < 4 && pos < n_u64; j++, pos++) {
+                uint64_t x = 0;
+                for (int i = 0; i < 8; i++) x |= (uint64_t)d[8 * j + i] << (8 * i);
+                out[l * n_u64 + pos] = x;
+            }
+        }
+    }
+}
+
+// prg_choose_k over many lanes (reference matrix.hpp:15-92 semantics,
+// including bounded() rejection with x <= lim).  indices out [n_lanes, k].
+void pvacn_choose_k(
+    const uint8_t* label, uint64_t label_len,
+    const uint64_t* words, uint64_t n_words,
+    uint64_t n_lanes, uint32_t k, uint64_t N,
+    int32_t* out) {
+    uint64_t lim = N <= 1 ? ~0ull : ~0ull - (~0ull % N);
+    for (uint64_t l = 0; l < n_lanes; l++) {
+        // sequential stream for this lane
+        uint64_t ctr = 0;
+        uint8_t d[32];
+        int idx = 32;
+        uint32_t got = 0;
+        // tiny open-addressing set; N <= 65536 in all scheme configs
+        static thread_local uint8_t seen[65536];
+        memset(seen, 0, (size_t)N);
+        while (got < k) {
+            if (idx >= 32) {
+                ShaCtx s;
+                sha_init(s);
+                sha_update(s, label, label_len);
+                for (uint64_t wI = 0; wI < n_words; wI++) {
+                    uint64_t x = words[l * n_words + wI];
+                    uint8_t b[8];
+                    for (int i = 0; i < 8; i++) b[i] = (uint8_t)(x >> (8 * i));
+                    sha_update(s, b, 8);
+                }
+                uint8_t cb[8];
+                for (int i = 0; i < 8; i++) cb[i] = (uint8_t)(ctr >> (8 * i));
+                ctr++;
+                sha_update(s, cb, 8);
+                sha_final(s, d);
+                idx = 0;
+            }
+            uint64_t x = 0;
+            for (int i = 0; i < 8; i++) x |= (uint64_t)d[idx + i] << (8 * i);
+            idx += 8;
+            if (N > 1 && x > lim) continue;
+            uint64_t v = N <= 1 ? 0 : x % N;
+            if (!seen[v]) {
+                seen[v] = 1;
+                out[l * k + got] = (int32_t)v;
+                got++;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// AES-256-CTR
+// ---------------------------------------------------------------------------
+
+static const uint8_t* sbox_tab() {
+    static uint8_t tab[256];
+    static bool init = false;
+    if (!init) {
+        // GF(2^8) inverse by Fermat + affine; built from the field
+        // definition (no copied tables).
+        auto gmul = [](uint8_t a, uint8_t b) {
+            uint16_t r = 0, aa = a;
+            while (b) {
+                if (b & 1) r ^= aa;
+                aa <<= 1;
+                if (aa & 0x100) aa ^= 0x11B;
+                b >>= 1;
+            }
+            return (uint8_t)r;
+        };
+        for (int x = 0; x < 256; x++) {
+            uint8_t inv = 0;
+            if (x) {
+                uint8_t acc = 1, base = (uint8_t)x;
+                int e = 254;
+                while (e) {
+                    if (e & 1) acc = gmul(acc, base);
+                    base = gmul(base, base);
+                    e >>= 1;
+                }
+                inv = acc;
+            }
+            uint8_t out = 0;
+            for (int i = 0; i < 8; i++) {
+                int bit = ((inv >> i) ^ (inv >> ((i + 4) % 8)) ^
+                           (inv >> ((i + 5) % 8)) ^ (inv >> ((i + 6) % 8)) ^
+                           (inv >> ((i + 7) % 8)) ^ (0x63 >> i)) & 1;
+                out |= bit << i;
+            }
+            tab[x] = out;
+        }
+        init = true;
+    }
+    return tab;
+}
+
+struct AesKey {
+    uint32_t w[60];  // big-endian word convention
+};
+
+static void aes_expand(const uint8_t key[32], AesKey& ak) {
+    const uint8_t* SB = sbox_tab();
+    for (int i = 0; i < 8; i++)
+        ak.w[i] = ((uint32_t)key[4 * i] << 24) | ((uint32_t)key[4 * i + 1] << 16) |
+                  ((uint32_t)key[4 * i + 2] << 8) | key[4 * i + 3];
+    uint32_t rcon = 1;
+    for (int i = 8; i < 60; i++) {
+        uint32_t t = ak.w[i - 1];
+        if (i % 8 == 0) {
+            t = (t << 8) | (t >> 24);
+            t = ((uint32_t)SB[(t >> 24) & 0xFF] << 24) |
+                ((uint32_t)SB[(t >> 16) & 0xFF] << 16) |
+                ((uint32_t)SB[(t >> 8) & 0xFF] << 8) | SB[t & 0xFF];
+            t ^= rcon << 24;
+            rcon <<= 1;
+        } else if (i % 8 == 4) {
+            t = ((uint32_t)SB[(t >> 24) & 0xFF] << 24) |
+                ((uint32_t)SB[(t >> 16) & 0xFF] << 16) |
+                ((uint32_t)SB[(t >> 8) & 0xFF] << 8) | SB[t & 0xFF];
+        }
+        ak.w[i] = ak.w[i - 8] ^ t;
+    }
+}
+
+static inline uint8_t xt(uint8_t a) {
+    return (uint8_t)((a << 1) ^ ((a & 0x80) ? 0x1B : 0));
+}
+
+static void aes_encrypt_block(const AesKey& ak, const uint8_t in[16],
+                              uint8_t out[16]) {
+    const uint8_t* SB = sbox_tab();
+    uint8_t s[16];
+    memcpy(s, in, 16);
+    auto ark = [&](int rnd) {
+        for (int c = 0; c < 4; c++) {
+            uint32_t w = ak.w[4 * rnd + c];
+            s[4 * c] ^= (uint8_t)(w >> 24);
+            s[4 * c + 1] ^= (uint8_t)(w >> 16);
+            s[4 * c + 2] ^= (uint8_t)(w >> 8);
+            s[4 * c + 3] ^= (uint8_t)w;
+        }
+    };
+    auto sub_shift = [&]() {
+        uint8_t t[16];
+        for (int i = 0; i < 16; i++) t[i] = SB[s[i]];
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                s[r + 4 * c] = t[r + 4 * ((c + r) % 4)];
+    };
+    auto mix = [&]() {
+        for (int c = 0; c < 4; c++) {
+            uint8_t a0 = s[4 * c], a1 = s[4 * c + 1], a2 = s[4 * c + 2],
+                    a3 = s[4 * c + 3];
+            s[4 * c] = xt(a0) ^ xt(a1) ^ a1 ^ a2 ^ a3;
+            s[4 * c + 1] = a0 ^ xt(a1) ^ xt(a2) ^ a2 ^ a3;
+            s[4 * c + 2] = a0 ^ a1 ^ xt(a2) ^ xt(a3) ^ a3;
+            s[4 * c + 3] = xt(a0) ^ a0 ^ a1 ^ a2 ^ xt(a3);
+        }
+    };
+    ark(0);
+    for (int r = 1; r < 14; r++) { sub_shift(); mix(); ark(r); }
+    sub_shift();
+    ark(14);
+    memcpy(out, s, 16);
+}
+
+#if PVACN_AESNI
+static inline __m128i aesni_expand_step(__m128i k, __m128i t) {
+    t = _mm_shuffle_epi32(t, 0xFF);
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    k = _mm_xor_si128(k, _mm_slli_si128(k, 4));
+    return _mm_xor_si128(k, t);
+}
+static inline __m128i aesni_expand_step2(__m128i k1, __m128i k2) {
+    __m128i t = _mm_aeskeygenassist_si128(k2, 0);
+    t = _mm_shuffle_epi32(t, 0xAA);
+    k1 = _mm_xor_si128(k1, _mm_slli_si128(k1, 4));
+    k1 = _mm_xor_si128(k1, _mm_slli_si128(k1, 4));
+    k1 = _mm_xor_si128(k1, _mm_slli_si128(k1, 4));
+    return _mm_xor_si128(k1, t);
+}
+
+struct AesNiKey { __m128i rk[15]; };
+
+static void aesni_expand(const uint8_t key[32], AesNiKey& ak) {
+    __m128i k0 = _mm_loadu_si128((const __m128i*)key);
+    __m128i k1 = _mm_loadu_si128((const __m128i*)(key + 16));
+    ak.rk[0] = k0; ak.rk[1] = k1;
+    ak.rk[2] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x01)); k0 = ak.rk[2];
+    ak.rk[3] = aesni_expand_step2(k1, k0); k1 = ak.rk[3];
+    ak.rk[4] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x02)); k0 = ak.rk[4];
+    ak.rk[5] = aesni_expand_step2(k1, k0); k1 = ak.rk[5];
+    ak.rk[6] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x04)); k0 = ak.rk[6];
+    ak.rk[7] = aesni_expand_step2(k1, k0); k1 = ak.rk[7];
+    ak.rk[8] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x08)); k0 = ak.rk[8];
+    ak.rk[9] = aesni_expand_step2(k1, k0); k1 = ak.rk[9];
+    ak.rk[10] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x10)); k0 = ak.rk[10];
+    ak.rk[11] = aesni_expand_step2(k1, k0); k1 = ak.rk[11];
+    ak.rk[12] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x20)); k0 = ak.rk[12];
+    ak.rk[13] = aesni_expand_step2(k1, k0); k1 = ak.rk[13];
+    ak.rk[14] = aesni_expand_step(k0, _mm_aeskeygenassist_si128(k1, 0x40));
+}
+#endif
+
+int pvacn_has_aesni() { return PVACN_AESNI; }
+
+// Expand N AES-256 keys and emit lane-packed bitsliced round-key planes:
+// out[1920, ceil(N/32)] uint32, plane order (r, p, b) with state byte
+// p = 4c + k <- schedule word 4r + c, byte k (big-endian), bit b; lane n
+// occupies bit n%32 of word n/32.
+void pvacn_expand_keys_packed(const uint8_t* keys, uint64_t n_lanes,
+                              uint32_t* out) {
+    uint64_t nw = (n_lanes + 31) / 32;
+    memset(out, 0, 1920 * nw * 4);
+    for (uint64_t n = 0; n < n_lanes; n++) {
+        AesKey ak;
+        aes_expand(keys + 32 * n, ak);
+        uint32_t lane_word = (uint32_t)(n / 32);
+        uint32_t lane_bit = (uint32_t)(n % 32);
+        for (int r = 0; r < 15; r++) {
+            for (int p = 0; p < 16; p++) {
+                int c = p / 4, k = p % 4;
+                uint8_t byte = (uint8_t)(ak.w[4 * r + c] >> (8 * (3 - k)));
+                for (int b = 0; b < 8; b++) {
+                    if ((byte >> b) & 1) {
+                        uint64_t plane = ((uint64_t)r * 16 + p) * 8 + b;
+                        out[plane * nw + lane_word] |= (1u << lane_bit);
+                    }
+                }
+            }
+        }
+    }
+}
+
+// keystream: for each lane, nblocks counter blocks -> out u64s
+// [n_lanes, 2*nblocks] in stream order.
+void pvacn_aes256_ctr(
+    const uint8_t* keys /* [n_lanes, 32] */, const uint64_t* nonces,
+    uint64_t n_lanes, uint64_t nblocks, uint64_t* out) {
+#if PVACN_AESNI
+    for (uint64_t l = 0; l < n_lanes; l++) {
+        AesNiKey ak;
+        aesni_expand(keys + 32 * l, ak);
+        uint64_t ctr = nonces[l];
+        uint64_t* o = out + l * 2 * nblocks;
+        for (uint64_t b = 0; b < nblocks; b++) {
+            __m128i x = _mm_set_epi64x(0, (long long)(ctr + b));
+            x = _mm_xor_si128(x, ak.rk[0]);
+            for (int r = 1; r < 14; r++) x = _mm_aesenc_si128(x, ak.rk[r]);
+            x = _mm_aesenclast_si128(x, ak.rk[14]);
+            _mm_storeu_si128((__m128i*)(o + 2 * b), x);
+        }
+    }
+#else
+    for (uint64_t l = 0; l < n_lanes; l++) {
+        AesKey ak;
+        aes_expand(keys + 32 * l, ak);
+        uint64_t ctr = nonces[l];
+        uint64_t* o = out + l * 2 * nblocks;
+        for (uint64_t b = 0; b < nblocks; b++) {
+            uint8_t in[16] = {0}, ob[16];
+            uint64_t c = ctr + b;
+            for (int i = 0; i < 8; i++) in[i] = (uint8_t)(c >> (8 * i));
+            aes_encrypt_block(ak, in, ob);
+            memcpy(o + 2 * b, ob, 16);
+        }
+    }
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// F_p bucket reduction: values [n, 4] uint32 limbs summed per bucket id,
+// reduced mod 2^127-1 -> out [n_buckets, 4].
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 u128;
+
+void pvacn_bucket_reduce_modp(
+    const uint32_t* limbs, const int64_t* bucket, uint64_t n,
+    uint64_t n_buckets, uint32_t* out) {
+    // accumulate limb-wise in u64 (no overflow for n < 2^32)
+    uint64_t* acc = (uint64_t*)calloc(n_buckets * 4, 8);
+    for (uint64_t i = 0; i < n; i++) {
+        int64_t b = bucket[i];
+        for (int k = 0; k < 4; k++) acc[b * 4 + k] += limbs[i * 4 + k];
+    }
+    const u128 P = (((u128)1) << 127) - 1;
+    for (uint64_t b = 0; b < n_buckets; b++) {
+        u128 lo = (u128)acc[b * 4 + 0] + (((u128)acc[b * 4 + 1]) << 32);
+        u128 hi = (u128)acc[b * 4 + 2] + (((u128)acc[b * 4 + 3]) << 32);
+        // value = lo + hi*2^64 < 2^161.  2^127 == 1 (mod p):
+        // hi*2^64 = hL*2^64 + hH*2^127 == hL*2^64 + hH with hL < 2^63.
+        u128 t = (lo & P) + (lo >> 127);
+        u128 hL = hi & ((((u128)1) << 63) - 1);
+        u128 hH = hi >> 63;
+        t += hL << 64;                  // < 2^128, fits
+        t = (t & P) + (t >> 127);
+        t += hH;
+        while (t >= P) t -= P;
+        out[b * 4 + 0] = (uint32_t)t;
+        out[b * 4 + 1] = (uint32_t)(t >> 32);
+        out[b * 4 + 2] = (uint32_t)(t >> 64);
+        out[b * 4 + 3] = (uint32_t)(t >> 96);
+    }
+    free(acc);
+}
+
+// Reduce rows of u64 limb accumulators (weight 2^32k) to canonical Fp.
+void pvacn_reduce_u64_limbs(const uint64_t* acc, uint64_t n, uint32_t* out) {
+    const u128 P = (((u128)1) << 127) - 1;
+    for (uint64_t i = 0; i < n; i++) {
+        u128 lo = (u128)acc[i * 4 + 0] + (((u128)acc[i * 4 + 1]) << 32);
+        u128 hi = (u128)acc[i * 4 + 2] + (((u128)acc[i * 4 + 3]) << 32);
+        u128 t = (lo & P) + (lo >> 127);
+        u128 hL = hi & ((((u128)1) << 63) - 1);
+        u128 hH = hi >> 63;
+        t += hL << 64;
+        t = (t & P) + (t >> 127);
+        t += hH;
+        while (t >= P) t -= P;
+        out[i * 4 + 0] = (uint32_t)t;
+        out[i * 4 + 1] = (uint32_t)(t >> 32);
+        out[i * 4 + 2] = (uint32_t)(t >> 64);
+        out[i * 4 + 3] = (uint32_t)(t >> 96);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// .ct codec: wire format (tests/bounty2_test.cpp:17-126) <-> SoA arrays.
+// Caller first asks for counts, then provides buffers.
+// ---------------------------------------------------------------------------
+
+struct CtReader {
+    const uint8_t* p;
+    uint64_t n;
+    uint64_t off = 0;
+    int fail = 0;
+    uint64_t need(uint64_t k) {
+        if (off + k > n) { fail = 1; return 0; }
+        uint64_t o = off;
+        off += k;
+        return o;
+    }
+    uint8_t u8() { uint64_t o = need(1); return fail ? 0 : p[o]; }
+    uint16_t u16() { uint64_t o = need(2); if (fail) return 0; uint16_t x; memcpy(&x, p + o, 2); return x; }
+    uint32_t u32() { uint64_t o = need(4); if (fail) return 0; uint32_t x; memcpy(&x, p + o, 4); return x; }
+    uint64_t u64() { uint64_t o = need(8); if (fail) return 0; uint64_t x; memcpy(&x, p + o, 8); return x; }
+};
+
+// Pass 1: scan a serialized Cipher at `offset`, report (n_layers, n_edges,
+// sigma_nbits, end_offset).  Returns 0 on success.
+int pvacn_ct_scan(const uint8_t* buf, uint64_t len, uint64_t offset,
+                  uint64_t* n_layers, uint64_t* n_edges,
+                  uint64_t* sigma_nbits, uint64_t* end_offset) {
+    CtReader r{buf, len};
+    r.off = offset;
+    uint32_t nL = r.u32(), nE = r.u32();
+    for (uint32_t i = 0; i < nL && !r.fail; i++) {
+        uint8_t rule = r.u8();
+        if (rule == 0) { r.need(24); }
+        else if (rule == 1) { r.need(8); }
+        else { r.need(24); }
+    }
+    uint64_t nbits = 0;
+    for (uint32_t e = 0; e < nE && !r.fail; e++) {
+        r.need(4 + 2 + 1 + 1 + 16);
+        uint32_t nb = r.u32();
+        if (e == 0) nbits = nb;
+        else if (nb != nbits) { r.fail = 1; break; }
+        r.need(8ull * ((nb + 63) / 64));
+    }
+    if (r.fail) return 1;
+    *n_layers = nL;
+    *n_edges = nE;
+    *sigma_nbits = nbits;
+    *end_offset = r.off;
+    return 0;
+}
+
+// Pass 2: decode into caller buffers.
+// layers: [nL, 5] u64  (rule, ztag, nonce_lo, nonce_hi, pa<<32|pb)
+// edges: lid i32[nE], idx i32[nE], ch i8[nE], w u64[nE,2],
+//        sigma u64[nE, (nbits+63)/64]
+int pvacn_ct_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
+                    uint64_t* layers, int32_t* lid, int32_t* idx, int8_t* ch,
+                    uint64_t* w, uint64_t* sigma) {
+    CtReader r{buf, len};
+    r.off = offset;
+    uint32_t nL = r.u32(), nE = r.u32();
+    for (uint32_t i = 0; i < nL && !r.fail; i++) {
+        uint8_t rule = r.u8();
+        layers[i * 5] = rule;
+        if (rule == 0) {
+            layers[i * 5 + 1] = r.u64();
+            layers[i * 5 + 2] = r.u64();
+            layers[i * 5 + 3] = r.u64();
+            layers[i * 5 + 4] = 0;
+        } else if (rule == 1) {
+            uint32_t pa = r.u32(), pb = r.u32();
+            layers[i * 5 + 1] = 0; layers[i * 5 + 2] = 0; layers[i * 5 + 3] = 0;
+            layers[i * 5 + 4] = ((uint64_t)pa << 32) | pb;
+        } else {
+            r.u64(); r.u64(); r.u64();
+            layers[i * 5 + 1] = 0; layers[i * 5 + 2] = 0; layers[i * 5 + 3] = 0;
+            layers[i * 5 + 4] = 0;
+        }
+    }
+    uint64_t nw = 0;
+    for (uint32_t e = 0; e < nE && !r.fail; e++) {
+        lid[e] = (int32_t)r.u32();
+        idx[e] = r.u16();
+        ch[e] = (int8_t)r.u8();
+        r.u8();
+        w[e * 2] = r.u64();
+        w[e * 2 + 1] = r.u64();
+        uint32_t nb = r.u32();
+        nw = (nb + 63) / 64;
+        uint64_t o = r.need(8 * nw);
+        if (!r.fail) memcpy(sigma + e * nw, buf + o, 8 * nw);
+    }
+    return r.fail;
+}
+
+// Encode one Cipher (append to caller-managed buffer; caller sizes it via
+// pvacn_ct_encoded_size).
+uint64_t pvacn_ct_encoded_size(uint64_t nL, const uint64_t* layers,
+                               uint64_t nE, uint64_t sigma_nbits) {
+    uint64_t sz = 8;
+    for (uint64_t i = 0; i < nL; i++)
+        sz += 1 + ((layers[i * 5] == 1) ? 8 : 24);
+    sz += nE * (4 + 2 + 1 + 1 + 16 + 4 + 8 * ((sigma_nbits + 63) / 64));
+    return sz;
+}
+
+void pvacn_ct_encode(
+    uint64_t nL, const uint64_t* layers, uint64_t nE, uint64_t sigma_nbits,
+    const int32_t* lid, const int32_t* idx, const int8_t* ch,
+    const uint64_t* w, const uint64_t* sigma, uint8_t* out) {
+    uint8_t* p = out;
+    auto put32 = [&](uint32_t x) { memcpy(p, &x, 4); p += 4; };
+    auto put64 = [&](uint64_t x) { memcpy(p, &x, 8); p += 8; };
+    put32((uint32_t)nL);
+    put32((uint32_t)nE);
+    for (uint64_t i = 0; i < nL; i++) {
+        uint8_t rule = (uint8_t)layers[i * 5];
+        *p++ = rule;
+        if (rule == 0) {
+            put64(layers[i * 5 + 1]); put64(layers[i * 5 + 2]); put64(layers[i * 5 + 3]);
+        } else if (rule == 1) {
+            put32((uint32_t)(layers[i * 5 + 4] >> 32));
+            put32((uint32_t)layers[i * 5 + 4]);
+        } else {
+            put64(0); put64(0); put64(0);
+        }
+    }
+    uint64_t nw = (sigma_nbits + 63) / 64;
+    for (uint64_t e = 0; e < nE; e++) {
+        put32((uint32_t)lid[e]);
+        uint16_t ix = (uint16_t)idx[e];
+        memcpy(p, &ix, 2); p += 2;
+        *p++ = (uint8_t)ch[e];
+        *p++ = 0;
+        put64(w[e * 2]); put64(w[e * 2 + 1]);
+        put32((uint32_t)sigma_nbits);
+        memcpy(p, sigma + e * nw, 8 * nw);
+        p += 8 * nw;
+    }
+}
+
+}  // extern "C"

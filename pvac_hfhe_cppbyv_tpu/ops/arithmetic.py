@@ -135,13 +135,21 @@ def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
     acc = np.zeros((len(uniq), 4), dtype=np.uint64)
     np.add.at(acc, inv, all_accs)
 
+    from .. import native
+
+    red = native.reduce_u64_limbs(acc)
+    if red is not None:
+        ws = FV.to_ints(red)
+    else:
+        ws = [
+            (int(acc[b, 0]) + (int(acc[b, 1]) << 32)
+             + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)) % F.P
+            for b in range(len(uniq))
+        ]
     out_lid, out_idx, out_ch, out_w = [], [], [], []
     for b in range(len(uniq)):
         k = int(uniq[b])
-        w = (
-            int(acc[b, 0]) + (int(acc[b, 1]) << 32)
-            + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)
-        ) % F.P
+        w = ws[b]
         if w == 0:
             continue
         out_lid.append(base + (k // 2) // Bmod)

@@ -87,13 +87,21 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
     sig = np.zeros((nb, C.sigma.shape[1]), dtype=U32)
     np.bitwise_xor.at(sig, seg, C.sigma[order])
 
+    from .. import native
+
+    red = native.reduce_u64_limbs(acc)
+    if red is not None:
+        wsums = FV.to_ints(red)
+    else:
+        wsums = [
+            (int(acc[b, 0]) + (int(acc[b, 1]) << 32)
+             + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)) % F.P
+            for b in range(nb)
+        ]
     new_lid, new_idx, new_ch, new_w, new_sig = [], [], [], [], []
     for b in range(nb):
         k = int(uniq[b])
-        wsum = (
-            int(acc[b, 0]) + (int(acc[b, 1]) << 32)
-            + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)
-        ) % F.P
+        wsum = wsums[b]
         if wsum == 0 and not sig[b].any():
             continue
         new_lid.append(k // (2 * B))
@@ -294,18 +302,14 @@ def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple
     return edges
 
 
-def _build_cipher_from_layers(pk: PubKey, plans: list[_LayerPlan]) -> Cipher:
-    """σ-generate all edges of the planned layers in one batch and assemble
-    one Cipher per plan list (plans become layers 0..len-1)."""
-    mw = pk.prm.sigma_words32
-    lids, idxs, chs, ws = [], [], [], []
-    zt, nlo, nhi, salts = [], [], [], []
-    for lid, plan in enumerate(plans):
-        for (idx, ch, w) in plan.edges:
-            lids.append(lid)
+def _sigma_for_plans(pk: PubKey, plans: list[_LayerPlan]) -> list[np.ndarray]:
+    """One σ batch covering every edge of every planned layer; returns the
+    per-plan σ matrices."""
+    idxs, chs, zt, nlo, nhi, salts = [], [], [], [], [], []
+    for plan in plans:
+        for (idx, ch, _w) in plan.edges:
             idxs.append(idx)
             chs.append(ch)
-            ws.append(w)
             zt.append(plan.seed.ztag)
             nlo.append(plan.seed.nonce.lo)
             nhi.append(plan.seed.nonce.hi)
@@ -316,15 +320,27 @@ def _build_cipher_from_layers(pk: PubKey, plans: list[_LayerPlan]) -> Cipher:
         np.asarray(nhi, dtype=np.uint64), np.asarray(idxs, dtype=np.uint64),
         np.asarray(chs, dtype=np.uint64), np.asarray(salts, dtype=np.uint64),
     )
-    C = Cipher(
-        [Layer(rule=RRULE_BASE, seed=p.seed) for p in plans],
-        np.asarray(lids, dtype=np.int32),
-        np.asarray(idxs, dtype=np.int32),
-        np.asarray(chs, dtype=np.int8),
-        FV.from_ints(ws),
+    out = []
+    off = 0
+    for plan in plans:
+        n = len(plan.edges)
+        out.append(sig[off : off + n])
+        off += n
+    return out
+
+
+def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, sig: np.ndarray) -> Cipher:
+    """Assemble one single-BASE-layer Cipher from a resolved plan + its
+    pre-generated σ rows."""
+    n = len(plan.edges)
+    return Cipher(
+        [Layer(rule=RRULE_BASE, seed=plan.seed)],
+        np.zeros(n, dtype=np.int32),
+        np.asarray([e[0] for e in plan.edges], dtype=np.int32),
+        np.asarray([e[1] for e in plan.edges], dtype=np.int8),
+        FV.from_ints([e[2] for e in plan.edges]),
         sig,
     )
-    return C
 
 
 def _shuffle_edges(C: Cipher) -> None:
@@ -358,10 +374,12 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     )
     dh = np.array([lpn.DOM_HASH[d] for _, d in reqs], dtype=np.uint64)
     cores = FV.to_ints(lpn.prf_cores_batch(pk, sk, seeds, dh))
-    out = []
     for p, (off, n) in zip(plans, spans):
         p.edges = _resolve_layer(pk, p, cores[off : off + n])
-        C = _build_cipher_from_layers(pk, [p])
+    sigs = _sigma_for_plans(pk, plans)
+    out = []
+    for p, sig in zip(plans, sigs):
+        C = _build_cipher_from_plan(pk, p, sig)
         compact_edges(pk, C)
         guard_budget(pk, C, "enc")
         _shuffle_edges(C)
