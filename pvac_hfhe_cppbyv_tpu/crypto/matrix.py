@@ -92,12 +92,16 @@ def gen_H(pk: PubKey) -> None:
          (words >> np.uint64(32)).astype(U32)],
         axis=-1,
     )
-    rows_idx, fb = shactr.choose_k_batch(wt, m, Dom.H_GEN, lanes)
-    if fb.any():
-        for c in np.nonzero(fb)[0]:
-            rows_idx[c] = shactr.choose_k_scalar(
-                wt, m, Dom.H_GEN, [m, n, wt, int(c), pk.canon_tag]
-            )
+    from .. import native
+
+    rows_idx = native.choose_k(Dom.H_GEN.encode(), words, wt, m)
+    if rows_idx is None:
+        rows_idx, fb = shactr.choose_k_batch(wt, m, Dom.H_GEN, lanes)
+        if fb.any():
+            for c in np.nonzero(fb)[0]:
+                rows_idx[c] = shactr.choose_k_scalar(
+                    wt, m, Dom.H_GEN, [m, n, wt, int(c), pk.canon_tag]
+                )
 
     Hbits = np.zeros((n, mw), dtype=U32)
     col_ids = np.repeat(np.arange(n), wt)
@@ -176,6 +180,7 @@ def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarr
         r = noise.reshape(-1)
         np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
     if fb.any():
+        sig = np.asarray(sig)
         for e in np.nonzero(fb)[0]:
             w = [int(words[e, j]) for j in range(7)]
             c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits, Dom.X_SEED, w)

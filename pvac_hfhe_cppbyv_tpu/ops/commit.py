@@ -27,6 +27,7 @@ def commit_ct(pk: PubKey, C: Cipher) -> bytes:
         else:
             h.update(struct.pack("<QQ", L.pa, L.pb))
     nbytes = (pk.prm.m_bits + 7) // 8
+    sig = np.asarray(C.sigma)
     for e in range(C.n_edges):
         h.update(struct.pack("<Q", int(C.layer_id[e])))
         h.update(struct.pack("<Q", int(C.idx[e])))
@@ -34,5 +35,5 @@ def commit_ct(pk: PubKey, C: Cipher) -> bytes:
         lo = int(C.w[e, 0]) | int(C.w[e, 1]) << 32
         hi = (int(C.w[e, 2]) | int(C.w[e, 3]) << 32) & MASK63
         h.update(struct.pack("<QQ", lo, hi))
-        h.update(C.sigma[e].astype("<u4").tobytes()[:nbytes])
+        h.update(sig[e].astype("<u4").tobytes()[:nbytes])
     return h.digest()

@@ -67,6 +67,7 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
     E = C.n_edges
     if E == 0:
         return
+    C.sigma = np.asarray(C.sigma)  # materialize device-resident σ
     B = pk.prm.B
     key = (
         C.layer_id.astype(np.int64) * (2 * B)

@@ -154,9 +154,16 @@ class DeviceEngine:
         self._sigma_fn_cache[n_pad] = fn
         return fn
 
-    def sigma(self, words: np.ndarray):
-        """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32 numpy,
-        fallback [E] bool numpy)."""
+    def sigma(self, words: np.ndarray, device_resident: bool = True):
+        """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32,
+        fallback [E] bool numpy).
+
+        With device_resident=True (default) the σ matrix stays on the
+        accelerator (a jax array); consumers that need host bytes
+        (serialization, edge compaction) convert lazily.  Decryption and
+        further homomorphic ops never read σ on the host, so op chains
+        avoid the device->host transfer entirely.
+        """
         E = words.shape[0]
         n_pad = _pad_pow2(E)
         wp = np.zeros((n_pad, 7), dtype=np.uint64)
@@ -167,7 +174,8 @@ class DeviceEngine:
             axis=-1,
         )
         sig, fb = self._sigma_fn(n_pad)(self.H_dev, jnp.asarray(lanes))
-        return np.asarray(sig)[:E], np.asarray(fb)[:E]
+        sig = sig[:E] if device_resident else np.asarray(sig)[:E]
+        return sig, np.asarray(fb)[:E]
 
 
 def enable_device(pk: PubKey, sk: SecKey | None = None, device=None) -> DeviceEngine:

@@ -100,7 +100,13 @@ class Cipher:
             self.idx = np.asarray(idx, dtype=np.int32)
             self.ch = np.asarray(ch, dtype=np.int8)
             self.w = np.asarray(w, dtype=np.uint32)
-            self.sigma = np.asarray(sigma, dtype=np.uint32)
+            # σ may be a device-resident jax array (see DeviceEngine.sigma);
+            # keep it there — consumers convert lazily when they need host
+            # bytes.
+            self.sigma = (
+                sigma if type(sigma).__module__.startswith("jax")
+                else np.asarray(sigma, dtype=np.uint32)
+            )
 
     @property
     def n_edges(self) -> int:

@@ -32,7 +32,7 @@ def sigma_shannon(C: Cipher) -> float:
     """Byte-entropy of all σ vectors (metrics.hpp:43-68)."""
     if C.n_edges == 0:
         return 0.0
-    by = C.sigma.astype("<u4").tobytes()
+    by = np.asarray(C.sigma).astype("<u4").tobytes()
     freq = np.bincount(np.frombuffer(by, dtype=np.uint8), minlength=256)
     total = freq.sum()
     if total == 0:
