@@ -38,6 +38,24 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    # The device link (a network tunnel under the axon platform) can wedge
+    # when left idle during host-only phases; a tiny periodic op keeps the
+    # connection alive.
+    import threading
+
+    import jax.numpy as jnp
+
+    def _keepalive():
+        x = jax.device_put(jnp.arange(8), dev)
+        while True:
+            try:
+                (x + 1).block_until_ready()
+            except Exception:
+                pass
+            time.sleep(3.0)
+
+    threading.Thread(target=_keepalive, daemon=True).start()
+
     quick = os.environ.get("PVAC_BENCH_QUICK") == "1"
     prm = pvac.small_test_params() if quick else pvac.Params()
 
