@@ -15,3 +15,10 @@ def csprng_bytes(n: int) -> bytes:
 
 def csprng_u64() -> int:
     return struct.unpack("<Q", os.urandom(8))[0]
+
+
+def csprng_u64_array(n: int):
+    """n CSPRNG u64s in one getrandom call (numpy uint64 array)."""
+    import numpy as np
+
+    return np.frombuffer(os.urandom(8 * n), dtype="<u8").copy()

@@ -11,7 +11,7 @@ import numpy as np
 
 from ..core import field as F
 from ..core import fieldv as FV
-from ..core.random import csprng_u64
+from ..core.random import csprng_u64, csprng_u64_array
 from ..crypto import matrix
 from ..types import (
     Cipher, Layer, Nonce128, PubKey, RSeed,
@@ -60,8 +60,7 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
             [np.asarray(s["out_idx"], dtype=np.uint64) for s in staged])
         chs = np.concatenate(
             [np.asarray(s["out_ch"], dtype=np.uint64) for s in staged])
-        salts = np.array([csprng_u64() for _ in range(int(sum(counts)))],
-                         dtype=np.uint64)
+        salts = csprng_u64_array(int(sum(counts)))
         sig_all = matrix.sigma_words(pk, zt, nlo, nhi, idxs, chs, salts)
     out = []
     off = 0

@@ -21,7 +21,7 @@ from ..config import dbg
 from ..core import bitvec as BV
 from ..core import field as F
 from ..core import fieldv as FV
-from ..core.random import csprng_u64
+from ..core.random import csprng_u64, csprng_u64_array
 from ..crypto import lpn, matrix
 from ..types import (
     Cipher, Dom, Layer, Nonce128, PubKey, RSeed, SecKey,
@@ -306,7 +306,7 @@ def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple
 def _sigma_for_plans(pk: PubKey, plans: list[_LayerPlan]) -> list[np.ndarray]:
     """One σ batch covering every edge of every planned layer; returns the
     per-plan σ matrices."""
-    idxs, chs, zt, nlo, nhi, salts = [], [], [], [], [], []
+    idxs, chs, zt, nlo, nhi = [], [], [], [], []
     for plan in plans:
         for (idx, ch, _w) in plan.edges:
             idxs.append(idx)
@@ -314,13 +314,17 @@ def _sigma_for_plans(pk: PubKey, plans: list[_LayerPlan]) -> list[np.ndarray]:
             zt.append(plan.seed.ztag)
             nlo.append(plan.seed.nonce.lo)
             nhi.append(plan.seed.nonce.hi)
-            salts.append(csprng_u64())
+    salts = csprng_u64_array(len(idxs))
     sig = matrix.sigma_words(
         pk,
         np.asarray(zt, dtype=np.uint64), np.asarray(nlo, dtype=np.uint64),
         np.asarray(nhi, dtype=np.uint64), np.asarray(idxs, dtype=np.uint64),
         np.asarray(chs, dtype=np.uint64), np.asarray(salts, dtype=np.uint64),
     )
+    # Fresh-encryption σ always gets compacted host-side right away, so pull
+    # the whole batch in ONE device->host transfer (per-share pulls cost one
+    # link round-trip each).
+    sig = np.asarray(sig)
     out = []
     off = 0
     for plan in plans:
@@ -350,8 +354,9 @@ def _shuffle_edges(C: Cipher) -> None:
     if n < 2:
         return
     perm = np.arange(n)
+    draws = csprng_u64_array(n - 1)
     for i in range(n - 1, 0, -1):
-        j = csprng_u64() % (i + 1)
+        j = int(draws[n - 1 - i]) % (i + 1)
         perm[i], perm[j] = perm[j], perm[i]
     C.layer_id = C.layer_id[perm]
     C.idx = C.idx[perm]
