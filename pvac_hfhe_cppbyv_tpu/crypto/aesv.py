@@ -120,8 +120,9 @@ def _gf_mul_planes(a, b):
     return acc
 
 
-def sbox_planes(x):
-    """Bitsliced AES S-box: affine(x^254)."""
+def sbox_planes_fermat(x):
+    """Bitsliced AES S-box by Fermat inversion: affine(x^254).  ~710 ops;
+    kept as the independent cross-check for the tower-field circuit."""
     x2 = _sq(x)
     x3 = _gf_mul_planes(x2, x)
     x6 = _sq(x3)
@@ -135,6 +136,255 @@ def sbox_planes(x):
     for j in range(8):
         if (_AFF_CONST >> j) & 1:
             out[j] = ~out[j]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tower-field S-box: GF(2^8) ~ GF(((2^2)^2)^2), inversion via the composite
+# structure (~200 ops, ~3.5x fewer than Fermat).  The isomorphism and all
+# constants are DERIVED at import from the field definitions and verified
+# exhaustively below (and again in tests) — nothing is hand-copied.
+#
+# Packing: tower element = a*16 + b  (x = a*y + b, a,b in GF16)
+#          GF16 element  = c*4 + d   (x = c*z + d, c,d in GF4)
+#          GF4  element  = e*2 + f   (x = e*w + f), w^2 = w + 1
+# Moduli:  z^2 = z + N with N = w (packed 2), y^2 = y + nu (searched).
+# ---------------------------------------------------------------------------
+
+def _gf4_mul_int(x, y):
+    x0, x1 = x & 1, x >> 1
+    y0, y1 = y & 1, y >> 1
+    t = (x0 ^ x1) & (y0 ^ y1)
+    hi = t ^ x0 & y0
+    lo = (x0 & y0) ^ (x1 & y1)
+    return (hi << 1) | lo
+
+
+def _gf4_scale_N_int(x):  # * w
+    x0, x1 = x & 1, x >> 1
+    return ((x0 ^ x1) << 1) | x1
+
+
+def _gf16_mul_int(x, y):
+    d1, c1 = x & 3, x >> 2
+    d2, c2 = y & 3, y >> 2
+    m1 = _gf4_mul_int(c1, c2)
+    m2 = _gf4_mul_int(d1, d2)
+    m3 = _gf4_mul_int(c1 ^ d1, c2 ^ d2)
+    c = m3 ^ m2
+    d = m2 ^ _gf4_scale_N_int(m1)
+    return (c << 2) | d
+
+
+def _find_nu():
+    # nu in GF16 with y^2 + y + nu irreducible (no root in GF16)
+    for nu in range(1, 16):
+        if all(_gf16_mul_int(t, t) ^ t != nu for t in range(16)):
+            return nu
+    raise AssertionError("no irreducible nu")
+
+
+_NU = _find_nu()
+
+
+def _tower_mul_int(x, y):
+    b1, a1 = x & 15, x >> 4
+    b2, a2 = y & 15, y >> 4
+    m1 = _gf16_mul_int(a1, a2)
+    m2 = _gf16_mul_int(b1, b2)
+    m3 = _gf16_mul_int(a1 ^ b1, a2 ^ b2)
+    a = m3 ^ m2
+    b = m2 ^ _gf16_mul_int(_NU, m1)
+    return (a << 4) | b
+
+
+def _build_tower_iso():
+    # roots of the AES modulus x^8+x^4+x^3+x+1 in the tower field give ring
+    # isomorphisms; T maps AES basis x^i -> r^i.
+    def aes_poly_at(r):
+        def powi(v, k):
+            out = 1
+            for _ in range(k):
+                out = _tower_mul_int(out, v)
+            return out
+        return powi(r, 8) ^ powi(r, 4) ^ powi(r, 3) ^ r ^ 1
+
+    root = next(r for r in range(2, 256) if aes_poly_at(r) == 0)
+    cols = []
+    v = 1
+    for _ in range(8):
+        cols.append(v)
+        v = _tower_mul_int(v, root)
+    # T (AES->tower): bit j of T(x) = parity over i of (x bit i) * (cols[i] bit j)
+    T = [0] * 8  # T[j] = mask of input bits feeding output bit j
+    for i in range(8):
+        for j in range(8):
+            if (cols[i] >> j) & 1:
+                T[j] |= 1 << i
+
+    def apply_rows(rows, x):
+        out = 0
+        for j in range(8):
+            if bin(x & rows[j]).count("1") & 1:
+                out |= 1 << j
+        return out
+
+    # invert T over GF(2)
+    mat = [[(T[j] >> i) & 1 for i in range(8)] for j in range(8)]
+    inv = [[1 if i == j else 0 for i in range(8)] for j in range(8)]
+    for col in range(8):
+        piv = next(r for r in range(col, 8) if mat[r][col])
+        mat[col], mat[piv] = mat[piv], mat[col]
+        inv[col], inv[piv] = inv[piv], inv[col]
+        for r in range(8):
+            if r != col and mat[r][col]:
+                mat[r] = [a ^ b for a, b in zip(mat[r], mat[col])]
+                inv[r] = [a ^ b for a, b in zip(inv[r], inv[col])]
+    Tinv = [sum(inv[j][i] << i for i in range(8)) for j in range(8)]
+    # M_out = Affine o Tinv (row masks), output constant 0x63
+    Mout = [0] * 8
+    for j in range(8):
+        # affine output bit j = parity(AFF_MASKS[j] & y) with y = Tinv(x)
+        m = 0
+        for k in range(8):
+            if (_AFF_MASKS[j] >> k) & 1:
+                m ^= Tinv[k]
+        Mout[j] = m
+    return T, Mout
+
+
+_T_IN, _M_OUT = _build_tower_iso()
+
+
+def _verify_tower():
+    from .aes import SBOX
+
+    def apply_rows(rows, x):
+        out = 0
+        for j in range(8):
+            if bin(x & rows[j]).count("1") & 1:
+                out |= 1 << j
+        return out
+
+    def tower_inv(t):
+        if t == 0:
+            return 0
+        acc, base, e = 1, t, 254
+        while e:
+            if e & 1:
+                acc = _tower_mul_int(acc, base)
+            base = _tower_mul_int(base, base)
+            e >>= 1
+        return acc
+
+    for x in range(256):
+        s = apply_rows(_M_OUT, tower_inv(apply_rows(_T_IN, x))) ^ _AFF_CONST
+        assert s == SBOX[x], f"tower iso broken at {x}"
+
+
+_verify_tower()
+
+
+def _gf4_mul_p(x, y):
+    # x, y: (f, e) plane pairs
+    t = (x[0] ^ x[1]) & (y[0] ^ y[1])
+    m00 = x[0] & y[0]
+    return (m00 ^ (x[1] & y[1]), t ^ m00)
+
+
+def _gf4_sq_p(x):
+    return (x[0] ^ x[1], x[1])
+
+
+def _gf4_scale_N_p(x):
+    return (x[1], x[0] ^ x[1])
+
+
+def _gf16_mul_p(x, y):
+    # x = (d0, d1, c0, c1)
+    d1, c1 = x[:2], x[2:]
+    d2, c2 = y[:2], y[2:]
+    m1 = _gf4_mul_p(c1, c2)
+    m2 = _gf4_mul_p(d1, d2)
+    m3 = _gf4_mul_p((c1[0] ^ d1[0], c1[1] ^ d1[1]),
+                    (c2[0] ^ d2[0], c2[1] ^ d2[1]))
+    c = (m3[0] ^ m2[0], m3[1] ^ m2[1])
+    nm1 = _gf4_scale_N_p(m1)
+    d = (m2[0] ^ nm1[0], m2[1] ^ nm1[1])
+    return (*d, *c)
+
+
+def _gf16_sq_p(x):
+    d, c = x[:2], x[2:]
+    c2 = _gf4_sq_p(c)
+    d2 = _gf4_sq_p(d)
+    nc2 = _gf4_scale_N_p(c2)
+    return (d2[0] ^ nc2[0], d2[1] ^ nc2[1], c2[0], c2[1])
+
+
+def _gf16_scale_nu_p(x):
+    # multiply by the constant _NU: linear map derived from the int model
+    out = [None] * 4
+    for j in range(4):
+        acc = None
+        for i in range(4):
+            if (_gf16_mul_int(_NU, 1 << i) >> j) & 1:
+                acc = x[i] if acc is None else acc ^ x[i]
+        out[j] = acc if acc is not None else x[0] ^ x[0]
+    return tuple(out)
+
+
+def _gf16_inv_p(x):
+    # (cz + d)^-1 = (cz + c + d) * Delta^-1, Delta = c^2 N + cd + d^2
+    d, c = x[:2], x[2:]
+    c2 = _gf4_sq_p(c)
+    d2 = _gf4_sq_p(d)
+    cd = _gf4_mul_p(c, d)
+    nc2 = _gf4_scale_N_p(c2)
+    delta = (nc2[0] ^ cd[0] ^ d2[0], nc2[1] ^ cd[1] ^ d2[1])
+    dinv = _gf4_sq_p(delta)  # GF4 inverse == square
+    c_out = _gf4_mul_p(c, dinv)
+    d_out = _gf4_mul_p((c[0] ^ d[0], c[1] ^ d[1]), dinv)
+    return (*d_out, *c_out)
+
+
+def sbox_planes(x):
+    """Bitsliced AES S-box via the tower-field inversion (~200 ops)."""
+    # input linear layer: tower bit j = parity(_T_IN[j] & x)
+    t = []
+    for j in range(8):
+        acc = None
+        m = _T_IN[j]
+        for i in range(8):
+            if (m >> i) & 1:
+                acc = x[i] if acc is None else acc ^ x[i]
+        t.append(acc if acc is not None else x[0] & ~x[0])
+
+    b, a = tuple(t[:4]), tuple(t[4:])
+    # Delta = a^2 nu + ab + b^2 ; inv = Delta^-1 ; a' = a*inv, b' = (a+b)*inv
+    a2nu = _gf16_scale_nu_p(_gf16_sq_p(a))
+    ab = _gf16_mul_p(a, b)
+    b2 = _gf16_sq_p(b)
+    delta = tuple(a2nu[k] ^ ab[k] ^ b2[k] for k in range(4))
+    dinv = _gf16_inv_p(delta)
+    a_out = _gf16_mul_p(a, dinv)
+    apb = tuple(a[k] ^ b[k] for k in range(4))
+    b_out = _gf16_mul_p(apb, dinv)
+    inv = (*b_out, *a_out)
+
+    # output linear layer + affine constant
+    out = []
+    for j in range(8):
+        acc = None
+        m = _M_OUT[j]
+        for i in range(8):
+            if (m >> i) & 1:
+                acc = inv[i] if acc is None else acc ^ inv[i]
+        if acc is None:
+            acc = inv[0] & ~inv[0]
+        if (_AFF_CONST >> j) & 1:
+            acc = ~acc
+        out.append(acc)
     return out
 
 

@@ -115,3 +115,15 @@ def test_ctr_keystream_jax_matches_numpy():
     hi = words[:, :, 1::2].reshape(N, -1)
     got = np.stack([lo, hi], axis=-1)
     assert np.array_equal(got, np.asarray(want))
+
+
+def test_sbox_tower_equals_fermat():
+    # two independently-derived circuits must agree on all inputs
+    vals = np.arange(256, dtype=np.uint32).reshape(8, 32)
+    sh = np.arange(32, dtype=np.uint32)
+    planes = [(((vals >> np.uint32(b)) & 1) << sh).sum(axis=-1).astype(np.uint32)
+              for b in range(8)]
+    a = aesv.sbox_planes(planes)
+    b = aesv.sbox_planes_fermat(planes)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
