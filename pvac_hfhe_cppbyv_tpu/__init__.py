@@ -61,4 +61,6 @@ from .io.serial import (
     MAGIC_CT, MAGIC_SK, MAGIC_PK, VER,
 )
 
+from .service import Client, Evaluator
+
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -279,3 +279,25 @@ class TestCommitText:
         c = pvac.enc_value(pk, sk, 12345)
         d = pvac.sigma_density(pk, c)
         assert 0.3 < d < 0.7
+
+
+class TestServiceRoles:
+    def test_client_evaluator(self, keys):
+        pk, sk = keys
+        from pvac_hfhe_cppbyv_tpu.service import Client
+
+        client = Client(pk, sk)
+        a, b = client.encrypt([6, 7])
+        ev = client.evaluator(client.evaluation_key(pool_size=2))
+        prod = ev.mul(a, b)
+        total = ev.add(prod, ev.scale(a, 10))
+        rec = ev.recrypt(total)
+        assert client.decrypt([prod, total, rec]) == [42, 102, 102]
+
+    def test_op_report_runs(self, keys):
+        pk, sk = keys
+        from pvac_hfhe_cppbyv_tpu.utils.profiling import op_report
+
+        r = op_report(pk, sk, batch=4)
+        assert set(r) == {"enc_value_us", "dec_value_us", "ct_add_us", "ct_mul_us"}
+        assert all(v > 0 for v in r.values())
