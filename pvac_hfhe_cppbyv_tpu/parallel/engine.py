@@ -32,27 +32,35 @@ def _pad_pow2(n: int, lo: int = 32) -> int:
     return p
 
 
-def prf_program(prm, n_lanes: int):
+def prf_program(prm, n_lanes: int, use_pallas: bool = False):
     """The single-chip prf_R-core forward program (jittable, pure).
 
     (rk_packed [1920, n/32], nlo, nhi [n], trk_packed, tnlo, tnhi, s32
     [2*s_words64]) -> (field limbs [n, 4], rejection flags [n]).
+
+    With use_pallas=True the AES keystream runs as the fused Pallas kernel
+    (state stays in VMEM across rounds) instead of the XLA op pipeline.
     """
     nblocks = lpn.n_ybits_blocks(prm)
 
-    def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
+    def _keystream_words(rk_packed, nlo, nhi, nb):
         rk = aesv.rk_masks_from_packed(rk_packed, n_lanes)
-        planes = aesv.counters_to_planes(nlo, nhi, nblocks)
+        if use_pallas:
+            from ..crypto import aes_pallas
+
+            rk_lanes = jnp.moveaxis(rk, -1, 0)  # [N, 15, 16, 8]
+            return aes_pallas.aes_ctr_keystream_pallas(rk_lanes, nlo, nhi, nb)
+        planes = aesv.counters_to_planes(nlo, nhi, nb)
         out = aesv.encrypt_planes(rk, planes)
-        words = aesv.planes_to_words(out, nblocks)  # [N, B, 4]
+        return aesv.planes_to_words(out, nb)
+
+    def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
+        words = _keystream_words(rk_packed, nlo, nhi, nblocks)  # [N, B, 4]
         lo = words[:, :, 0::2].reshape(n_lanes, -1)
         hi = words[:, :, 1::2].reshape(n_lanes, -1)
         u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
 
-        trk = aesv.rk_masks_from_packed(trk_packed, n_lanes)
-        tplanes = aesv.counters_to_planes(tnlo, tnhi, 1)
-        tout = aesv.encrypt_planes(trk, tplanes)
-        twords = aesv.planes_to_words(tout, 1)  # [N, 1, 4]
+        twords = _keystream_words(trk_packed, tnlo, tnhi, 1)  # [N, 1, 4]
         tlo = twords[:, :, 0::2].reshape(n_lanes, -1)
         thi = twords[:, :, 1::2].reshape(n_lanes, -1)
         top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
@@ -71,10 +79,16 @@ class DeviceEngine:
     and shipped in packed (lane-compressed) form.
     """
 
-    def __init__(self, pk: PubKey, sk: SecKey | None = None, device=None):
+    def __init__(self, pk: PubKey, sk: SecKey | None = None, device=None,
+                 use_pallas: bool | None = None):
         self.pk = pk
         self.prm = pk.prm
         self.device = device or jax.devices()[0]
+        if use_pallas is None:
+            import os
+
+            use_pallas = os.environ.get("PVAC_PALLAS") == "1"
+        self.use_pallas = use_pallas
         self.H_dev = (
             jax.device_put(pk.H, self.device) if pk.H is not None else None
         )
@@ -93,15 +107,28 @@ class DeviceEngine:
         fn = self._prf_fn_cache.get(n_pad)
         if fn is not None:
             return fn
-        fn = jax.jit(prf_program(self.prm, n_pad), device=self.device)
+        fn = jax.jit(prf_program(self.prm, n_pad, self.use_pallas), device=self.device)
         self._prf_fn_cache[n_pad] = fn
         return fn
+
+    PRF_CHUNK = 1024
 
     def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
                   toep_keys: np.ndarray, toep_nonces: np.ndarray):
         """[N,32] u8 keys + [N] u64 nonces (x2 for toep) -> (limbs [N,4]
-        numpy, rej [N] bool numpy)."""
+        numpy, rej [N] bool numpy).  Chunked like sigma()."""
         N = keys.shape[0]
+        C = self.PRF_CHUNK
+        if N > C:
+            rs, rejs = [], []
+            for off in range(0, N, C):
+                r, rej = self.prf_cores(
+                    keys[off : off + C], nonces[off : off + C],
+                    toep_keys[off : off + C], toep_nonces[off : off + C],
+                )
+                rs.append(r)
+                rejs.append(rej)
+            return np.concatenate(rs), np.concatenate(rejs)
         n_pad = _pad_pow2(N)
 
         def prep(kb, nn):
@@ -154,7 +181,31 @@ class DeviceEngine:
         self._sigma_fn_cache[n_pad] = fn
         return fn
 
+    SIGMA_CHUNK = 8192
+
     def sigma(self, words: np.ndarray, device_resident: bool = True):
+        """Chunked σ generation: big batches run as repeats of one compiled
+        8192-lane program plus one pow2-padded remainder call, instead of
+        padding the whole batch to the next power of two."""
+        E = words.shape[0]
+        C = self.SIGMA_CHUNK
+        if E <= C:
+            return self._sigma_padded(words, device_resident)
+        sigs = []
+        fbs = []
+        for off in range(0, E, C):
+            s, f = self._sigma_padded(words[off : off + C], device_resident)
+            sigs.append(s)
+            fbs.append(f)
+        if device_resident:
+            import jax.numpy as jnp
+
+            sig = jnp.concatenate(sigs, axis=0)
+        else:
+            sig = np.concatenate(sigs, axis=0)
+        return sig, np.concatenate(fbs)
+
+    def _sigma_padded(self, words: np.ndarray, device_resident: bool = True):
         """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32,
         fallback [E] bool numpy).
 
@@ -178,9 +229,10 @@ class DeviceEngine:
         return sig, np.asarray(fb)[:E]
 
 
-def enable_device(pk: PubKey, sk: SecKey | None = None, device=None) -> DeviceEngine:
+def enable_device(pk: PubKey, sk: SecKey | None = None, device=None,
+                  use_pallas: bool | None = None) -> DeviceEngine:
     """Attach a DeviceEngine to pk; ops route hot kernels through it."""
-    eng = DeviceEngine(pk, sk, device)
+    eng = DeviceEngine(pk, sk, device, use_pallas=use_pallas)
     pk._engine = eng
     return eng
 
