@@ -30,16 +30,19 @@ from pvac_hfhe_cppbyv_tpu.types import SGN_P
 
 
 def attempt_r_leak(ct: pvac.Cipher) -> tuple[bool, int]:
-    """Search one ciphertext for the (idx-collision, opposite-sign) edge
-    pair the attack relies on; returns (found, candidate_R)."""
+    """Search one ciphertext for the exploitable pair structure.
+
+    A P/M edge pair at the same (layer, idx) is normal and harmless — the
+    leak the bounty-era attack needed is a pair whose raw weights cancel
+    (w_i + w_j = 0) or repeat (w_i = w_j), which would expose an R-multiple
+    directly (cf. tests/bounty_r2_attack.cpp).  Honest encryption never
+    produces it; returns (found, leaked_value)."""
     ws = FV.to_ints(ct.w)
     n = ct.n_edges
     for i in range(n):
         for j in range(i + 1, n):
-            if (int(ct.idx[i]) == int(ct.idx[j])
-                    and int(ct.layer_id[i]) == int(ct.layer_id[j])
-                    and int(ct.ch[i]) != int(ct.ch[j])):
-                return True, F.fp_add(ws[i], ws[j])
+            if ws[i] == ws[j] or F.fp_add(ws[i], ws[j]) == 0:
+                return True, ws[i]
     return False, 0
 
 
@@ -60,8 +63,9 @@ def main():
                   "tests/test_noise_struct.py)")
             return 1
     print("[-] structural leakage not found in the data.")
-    print("    compact_edges keeps at most one edge per (layer, idx, sign), "
-          "so the attacked structure cannot occur in honest ciphertexts.")
+    print("    honest encryption never emits cancelling or repeated raw "
+          "weights (every weight carries an independent random factor "
+          "times R); tests/test_security.py pins this class.")
     return 0
 
 
