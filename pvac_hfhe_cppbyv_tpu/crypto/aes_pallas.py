@@ -106,8 +106,9 @@ def _mix_columns(planes, G):
 
 
 def _kernel(nonce_ref, rk_ref, out_ref, *, nblocks: int, G: int):
-    nonce_lo = nonce_ref[0, 0]
-    nonce_hi = nonce_ref[0, 1]
+    n = pl.program_id(0)
+    nonce_lo = nonce_ref[n, 0]
+    nonce_hi = nonce_ref[n, 1]
 
     # counter planes: block c = 32g + j; value = nonce + c (64-bit)
     g_ids = lax.broadcasted_iota(U32, (G, 32), 0)
@@ -175,7 +176,7 @@ def aes_ctr_keystream_pallas(rk_masks, nonce_lo, nonce_hi, nblocks: int,
         kern,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda n: (n, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole nonce table
             pl.BlockSpec((1, 15, 16, 8), lambda n: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
