@@ -25,6 +25,17 @@ bench-quick:
 native:
 	$(PY) -c "from pvac_hfhe_cppbyv_tpu import native; assert native.lib()"
 
+# ASan/UBSan build of the native runtime + the tests that exercise it
+# (parity with the reference's `make sanitize`, Makefile:24-25)
+sanitize:
+	PVAC_NATIVE_SANITIZE=1 \
+	LD_PRELOAD=$$(g++ -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	$(PY) tools/native_selftest.py
+
+debug:
+	PVAC_DBG=2 $(PY) -m pytest tests/test_scheme.py -q
+
 # Regenerate reference-derived fixtures (needs g++ + /root/reference)
 vectors:
 	mkdir -p build tests/golden

@@ -30,14 +30,18 @@ def _build_dir() -> pathlib.Path:
 
 
 def _compile() -> pathlib.Path | None:
-    out = _build_dir() / "pvacnative.so"
+    sanitize = os.environ.get("PVAC_NATIVE_SANITIZE") == "1"
+    name = "pvacnative_asan.so" if sanitize else "pvacnative.so"
+    out = _build_dir() / name
     if out.exists() and out.stat().st_mtime >= _SRC.stat().st_mtime:
         return out
+    extra = ["-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+             "-g"] if sanitize else []
     for flags in (["-march=native"], []):
         try:
             subprocess.run(
                 ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", *flags,
-                 "-o", str(out), str(_SRC)],
+                 *extra, "-o", str(out), str(_SRC)],
                 check=True, capture_output=True, timeout=120,
             )
             return out
