@@ -62,7 +62,31 @@ def main():
     t0 = time.time()
     pk, sk = pvac.keygen(prm)
     log(f"keygen: {time.time()-t0:.1f}s")
-    enable_device(pk, sk, device=dev)
+
+    # Device health watchdog: if a trivial op can't complete, fall back to
+    # the host (numpy + native C++) engine so the bench still produces a
+    # datapoint instead of hanging on a dead device link.
+    def _device_alive(timeout_s: float = 120.0) -> bool:
+        done = []
+
+        def probe():
+            try:
+                (jax.device_put(jnp.arange(16), dev) * 2).block_until_ready()
+                done.append(True)
+            except Exception:
+                pass
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return bool(done)
+
+    if _device_alive():
+        enable_device(pk, sk, device=dev)
+        log("device engine enabled")
+    else:
+        log("WARNING: device link unresponsive; benchmarking the host "
+            "(numpy + native C++) path")
 
     ENC_BATCH = 16 if quick else 32
     MUL_BATCH = 8 if quick else 16

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Batched-encryption benchmark (BASELINE config 3: 64K enc_value + ct_add
+chains, AES-CTR PRF on-device).
+
+Usage:
+    python benchmarks/enc_batch.py [--n 65536] [--chunk 512] [--small]
+
+Encrypts n values in engine-batched chunks, chains pairwise ct_adds, and
+decrypts a sample to verify.  Reports ct/s and derived PRF-core and AES
+block throughput.
+"""
+import argparse
+import pathlib
+import sys
+import threading
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--host-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pvac_jax_cache")
+    import jax.numpy as jnp
+
+    import pvac_hfhe_cppbyv_tpu as pvac
+    from pvac_hfhe_cppbyv_tpu.crypto import lpn
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import enable_device
+
+    def keepalive():
+        x = jnp.arange(8)
+        while True:
+            try:
+                (x + 1).block_until_ready()
+            except Exception:
+                pass
+            time.sleep(3.0)
+
+    prm = pvac.small_test_params() if args.small else pvac.Params()
+    t0 = time.time()
+    pk, sk = pvac.keygen(prm)
+    print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+    if not args.host_only:
+        threading.Thread(target=keepalive, daemon=True).start()
+        enable_device(pk, sk)
+
+    # warm compile
+    pvac.enc_value_batch(pk, sk, list(range(min(args.chunk, args.n))))
+
+    t0 = time.time()
+    done = 0
+    sample = []
+    while done < args.n:
+        take = min(args.chunk, args.n - done)
+        cts = pvac.enc_value_batch(pk, sk, list(range(done, done + take)))
+        if done == 0:
+            sample = cts[:4]
+        done += take
+        el = time.time() - t0
+        print(f"  {done}/{args.n} enc ({done/el:.1f} ct/s)", flush=True)
+    el = time.time() - t0
+    cores = 2 * 15 * args.n
+    blocks = cores * (lpn.n_ybits_blocks(prm) + 1)
+    print(f"enc_value: {args.n/el:.1f} ct/s | {cores/el:.0f} prf-cores/s | "
+          f"{blocks/el/1e6:.1f}M AES blocks/s", flush=True)
+
+    # ct_add chain + verify
+    acc = sample[0]
+    for c in sample[1:4]:
+        acc = pvac.ct_add(pk, acc, c)
+    assert pvac.dec_value(pk, sk, acc) == 0 + 1 + 2 + 3
+    print("add-chain decrypt ok")
+
+
+if __name__ == "__main__":
+    main()
