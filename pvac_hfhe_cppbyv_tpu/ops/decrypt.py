@@ -117,8 +117,8 @@ def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
 
     # one batched inversion across all layers of all cts
     flat = [r for Rs in all_Rs for r in Rs]
-    if flat:
-        Rinv_flat = FV.inv(FV.from_ints(flat))
+    Rinv_flat = (FV.inv(FV.from_ints(flat)) if flat
+                 else np.zeros((0, 4), dtype=U32))
     offs = 0
     for C, Rs in zip(cts, all_Rs):
         L = len(Rs)
