@@ -10,7 +10,10 @@ A keepalive thread issues a tiny device op every 3s throughout (the axon
 tunnel wedges when idle).
 """
 import json
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import threading
 import time
 
