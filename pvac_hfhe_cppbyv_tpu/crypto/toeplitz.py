@@ -54,6 +54,13 @@ def toep_127_scalar(top_words: list[int], y_words: list[int]) -> tuple[int, int]
     return val & 0xFFFFFFFFFFFFFFFF, val >> 64
 
 
+def toep_127(top_words: list[int], y_words: list[int]) -> tuple[int, int]:
+    """Reference-named entry point (toeplitz.hpp:259-267).  The runtime
+    backend dispatch (scalar here, conv127 on device) replaces the
+    reference's micro-benchmark autotuner."""
+    return toep_127_scalar(top_words, y_words)
+
+
 # ---------------------------------------------------------------------------
 # vectorized 127-bit convolution (numpy / jnp)
 # ---------------------------------------------------------------------------

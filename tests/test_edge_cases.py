@@ -63,3 +63,45 @@ def test_commit_empty(small_keys):
     pk, _ = small_keys
     c1 = pvac.commit_ct(pk, _empty(pk.prm.sigma_words32))
     assert len(c1) == 32
+
+
+def test_layer_cycle_abort(small_keys):
+    """decrypt.hpp:32-37 cycle abort parity."""
+    from pvac_hfhe_cppbyv_tpu.types import Layer, Nonce128, RSeed, RRULE_PROD
+
+    pk, sk = small_keys
+    C = _empty(pk.prm.sigma_words32)
+    C.layers = [
+        Layer(RRULE_PROD, RSeed(0, Nonce128(0, 0)), 1, 1),
+        Layer(RRULE_PROD, RSeed(0, Nonce128(0, 0)), 0, 0),
+    ]
+    C.layer_id = np.array([0], dtype=np.int32)
+    C.idx = np.array([1], dtype=np.int32)
+    C.ch = np.array([0], dtype=np.int8)
+    C.w = np.ones((1, 4), dtype=np.uint32)
+    C.sigma = np.zeros((1, pk.prm.sigma_words32), dtype=np.uint32)
+    with pytest.raises(ValueError, match="cycle"):
+        pvac.dec_value(pk, sk, C)
+
+
+def test_layer_out_of_range_abort(small_keys):
+    from pvac_hfhe_cppbyv_tpu.types import Layer, Nonce128, RSeed, RRULE_PROD
+
+    pk, sk = small_keys
+    C = _empty(pk.prm.sigma_words32)
+    C.layers = [Layer(RRULE_PROD, RSeed(0, Nonce128(0, 0)), 0, 7)]
+    C.layer_id = np.array([0], dtype=np.int32)
+    C.idx = np.array([0], dtype=np.int32)
+    C.ch = np.array([0], dtype=np.int8)
+    C.w = np.ones((1, 4), dtype=np.uint32)
+    C.sigma = np.zeros((1, pk.prm.sigma_words32), dtype=np.uint32)
+    with pytest.raises(ValueError):
+        pvac.dec_value(pk, sk, C)
+
+
+def test_keygen_b_divides_check():
+    """keygen.hpp:38-43 abort parity: B must divide p-1."""
+    prm = pvac.small_test_params()
+    prm.B = 338
+    with pytest.raises(ValueError, match="B"):
+        pvac.keygen(prm)
