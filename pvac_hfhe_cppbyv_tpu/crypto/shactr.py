@@ -92,11 +92,14 @@ def _layout(label: bytes, n_words: int) -> H.MsgLayout:
     return H.MsgLayout(label, n_words + 1)  # +1 for the counter field
 
 
-def stream_u64s(label: str | bytes, words_lanes, n_u64: int):
+def stream_u64s(label: str | bytes, words_lanes, n_u64: int,
+                pallas_sha: bool = False):
     """Vectorized stream: words_lanes [L, n_words, 2] uint32 (lo, hi) per
     lane -> [L, n_u64, 2] uint32 little-endian u64 halves, in stream order.
 
-    Works under numpy and jax.numpy (jit-safe, static shapes).
+    Works under numpy and jax.numpy (jit-safe, static shapes).  With
+    pallas_sha=True (TPU only) the compression chain runs as one fused
+    Pallas kernel instead of per-round XLA ops.
     """
     xp = np if type(words_lanes).__module__.startswith("numpy") else __import__(
         "jax.numpy", fromlist=["x"]
@@ -107,20 +110,45 @@ def stream_u64s(label: str | bytes, words_lanes, n_u64: int):
     n_refills = (n_u64 + 3) // 4
     layout = _layout(prefix, n_words)
 
-    # fields per (lane, refill): words + counter
-    ctr = xp.arange(n_refills, dtype=U32)
-    zeros = xp.zeros((n_refills,), dtype=U32)
-    ctr_fields = xp.stack([ctr, zeros], axis=-1)  # [R, 2]
-    w = xp.broadcast_to(
-        words_lanes[:, None, :, :], (L_batch, n_refills, n_words, 2)
-    )
-    c = xp.broadcast_to(ctr_fields[None, :, None, :], (L_batch, n_refills, 1, 2))
-    fields = xp.concatenate([w, c], axis=2)  # [L, R, n_words+1, 2]
+    if pallas_sha and xp is not np:
+        # Fused Pallas SHA-256-CTR kernel: message words are assembled
+        # in-register from the lane fields, the counter-independent block-1
+        # midstate is computed once per lane, and only the counter block is
+        # recompressed per refill.
+        from . import sha256_pallas
 
-    blocks = layout.build_blocks(fields)  # [L, R, nb, 16]
-    state = H.sha256_init_state((L_batch, n_refills), xp)
-    for b in range(layout.n_blocks):
-        state = H.sha256_compress(state, blocks[:, :, b, :])
+        T = sha256_pallas.TILE
+        L_pad = -(-L_batch // T) * T
+        lanes = words_lanes
+        if L_pad != L_batch:
+            lanes = xp.concatenate(
+                [lanes, xp.zeros((L_pad - L_batch, n_words, 2), dtype=U32)],
+                axis=0,
+            )
+        # append a dummy counter field (substituted in-kernel)
+        lanes = xp.concatenate(
+            [lanes, xp.zeros((L_pad, 1, 2), dtype=U32)], axis=1
+        )
+        state = sha256_pallas.shactr_stream_states(
+            prefix, lanes, n_words + 1, n_refills
+        )[:L_batch]
+    else:
+        # fields per (lane, refill): words + counter
+        ctr = xp.arange(n_refills, dtype=U32)
+        zeros = xp.zeros((n_refills,), dtype=U32)
+        ctr_fields = xp.stack([ctr, zeros], axis=-1)  # [R, 2]
+        w = xp.broadcast_to(
+            words_lanes[:, None, :, :], (L_batch, n_refills, n_words, 2)
+        )
+        c = xp.broadcast_to(
+            ctr_fields[None, :, None, :], (L_batch, n_refills, 1, 2)
+        )
+        fields = xp.concatenate([w, c], axis=2)  # [L, R, n_words+1, 2]
+
+        blocks = layout.build_blocks(fields)  # [L, R, nb, 16]
+        state = H.sha256_init_state((L_batch, n_refills), xp)
+        for b in range(layout.n_blocks):
+            state = H.sha256_compress(state, blocks[:, :, b, :])
     u64s = H.digest_words_to_le_u64_pairs(state)  # [L, R, 4, 2]
     u64s = u64s.reshape(L_batch, n_refills * 4, 2)
     return u64s[:, :n_u64, :]
@@ -147,7 +175,8 @@ def bounded_ok_mask(u64_pairs, M: int):
     return (hi < lim_hi) | ((hi == lim_hi) & (lo <= lim_lo))
 
 
-def choose_k_batch(k: int, N: int, label: str | bytes, words_lanes, overshoot: int = 64):
+def choose_k_batch(k: int, N: int, label: str | bytes, words_lanes,
+                   overshoot: int = 64, pallas_sha: bool = False):
     """Vectorized prg_choose_k over many lanes.
 
     words_lanes: [L, n_words, 2] uint32.  Returns (indices [L, k] int32,
@@ -159,31 +188,35 @@ def choose_k_batch(k: int, N: int, label: str | bytes, words_lanes, overshoot: i
         "jax.numpy", fromlist=["x"]
     )
     D = k + overshoot
-    u64s = stream_u64s(label, words_lanes, D)  # [L, D, 2]
+    u64s = stream_u64s(label, words_lanes, D, pallas_sha=pallas_sha)  # [L, D, 2]
     ok = bounded_ok_mask(u64s, N)  # [L, D]
     vals = mod_u64(u64s, N).astype(np.int32)  # [L, D]
 
-    # Order-preserving first-occurrence dedup via sort:
-    # pack (value, position); after an ascending sort equal values are
-    # adjacent with ascending position, so the first element of each run is
-    # the first occurrence.  Scatter that flag back to stream positions.
-    pos = xp.broadcast_to(
-        xp.arange(D, dtype=np.int32)[None, :], vals.shape
-    )
-    packed = vals * np.int32(D) + pos  # N*D < 2^31 for all scheme sizes
-    order = xp.argsort(packed, axis=-1)
-    sv = xp.take_along_axis(vals, order, axis=-1)
-    first_sorted = xp.concatenate(
-        [xp.ones_like(sv[:, :1], dtype=bool), sv[:, 1:] != sv[:, :-1]], axis=-1
-    )
-    first = xp.zeros_like(first_sorted)
     if xp is np:
+        # Order-preserving first-occurrence dedup via sort:
+        # pack (value, position); after an ascending sort equal values are
+        # adjacent with ascending position, so the first element of each run
+        # is the first occurrence.  Scatter that flag back to stream
+        # positions.
+        pos = xp.broadcast_to(
+            xp.arange(D, dtype=np.int32)[None, :], vals.shape
+        )
+        packed = vals * np.int32(D) + pos  # N*D < 2^31 for all scheme sizes
+        order = xp.argsort(packed, axis=-1)
+        sv = xp.take_along_axis(vals, order, axis=-1)
+        first_sorted = xp.concatenate(
+            [xp.ones_like(sv[:, :1], dtype=bool), sv[:, 1:] != sv[:, :-1]],
+            axis=-1,
+        )
+        first = xp.zeros_like(first_sorted)
         rows = np.arange(vals.shape[0])[:, None]
         first[rows, order] = first_sorted
     else:
-        first = first.at[
-            xp.arange(vals.shape[0])[:, None], order
-        ].set(first_sorted)
+        # On TPU an O(D^2) pairwise compare beats sort by a wide margin:
+        # draw j is a first occurrence iff no earlier draw k<j equals it.
+        earlier = xp.tril(xp.ones((D, D), dtype=bool), k=-1)  # [j, k]: k < j
+        dup = ((vals[:, :, None] == vals[:, None, :]) & earlier[None]).any(-1)
+        first = ~dup
 
     selected = first  # all draws assumed accepted; rejection -> fallback
     rank = xp.cumsum(selected.astype(np.int32), axis=-1)  # 1-based

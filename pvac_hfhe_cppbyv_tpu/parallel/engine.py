@@ -84,11 +84,19 @@ class DeviceEngine:
         self.pk = pk
         self.prm = pk.prm
         self.device = device or jax.devices()[0]
-        if use_pallas is None:
-            import os
+        import os
 
+        if use_pallas is None:
             use_pallas = os.environ.get("PVAC_PALLAS") == "1"
         self.use_pallas = use_pallas
+        # Fused Pallas SHA-256 for the σ choose_k streams: default on for
+        # accelerator devices (the XLA op-per-round path is ~100x off VPU
+        # speed of light), off on CPU where Pallas TPU kernels can't run.
+        env_sha = os.environ.get("PVAC_PALLAS_SHA")
+        if env_sha is not None:
+            self.use_pallas_sha = env_sha == "1"
+        else:
+            self.use_pallas_sha = self.device.platform != "cpu"
         self.H_dev = (
             jax.device_put(pk.H, self.device) if pk.H is not None else None
         )
@@ -116,19 +124,33 @@ class DeviceEngine:
     def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
                   toep_keys: np.ndarray, toep_nonces: np.ndarray):
         """[N,32] u8 keys + [N] u64 nonces (x2 for toep) -> (limbs [N,4]
-        numpy, rej [N] bool numpy).  Chunked like sigma()."""
+        numpy, rej [N] bool numpy).
+
+        Chunked like sigma(): all chunk programs are dispatched without an
+        intervening sync (the device link has ~30 ms round-trip latency, so
+        per-chunk blocking fetches would dominate) and the results come back
+        in one fetch at the end.
+        """
         N = keys.shape[0]
         C = self.PRF_CHUNK
         if N > C:
             rs, rejs = [], []
             for off in range(0, N, C):
-                r, rej = self.prf_cores(
+                r, rej = self._prf_chunk(
                     keys[off : off + C], nonces[off : off + C],
                     toep_keys[off : off + C], toep_nonces[off : off + C],
                 )
                 rs.append(r)
                 rejs.append(rej)
-            return np.concatenate(rs), np.concatenate(rejs)
+            r = jnp.concatenate(rs)
+            rej = jnp.concatenate(rejs)
+            return np.asarray(r), np.asarray(rej)
+        r, rej = self._prf_chunk(keys, nonces, toep_keys, toep_nonces)
+        return np.asarray(r), np.asarray(rej)
+
+    def _prf_chunk(self, keys, nonces, toep_keys, toep_nonces):
+        """One padded chunk -> device-resident (limbs, rej); no host sync."""
+        N = keys.shape[0]
         n_pad = _pad_pow2(N)
 
         def prep(kb, nn):
@@ -144,7 +166,7 @@ class DeviceEngine:
         rk, nlo, nhi = prep(keys, nonces)
         trk, tnlo, tnhi = prep(toep_keys, toep_nonces)
         r, rej = self._prf_fn(n_pad)(rk, nlo, nhi, trk, tnlo, tnhi, self.s32_dev)
-        return np.asarray(r)[:N], np.asarray(rej)[:N]
+        return r[:N], rej[:N]
 
     # ------------------------------------------------------------------
     # σ generation
@@ -156,17 +178,23 @@ class DeviceEngine:
             return fn
         prm = self.prm
 
+        pallas_sha = self.use_pallas_sha
+
         def run(H, lanes):
             cols, fb1 = shactr.choose_k_batch(
-                prm.x_col_wt, prm.n_bits, "pvac.dom.x_seed", lanes
+                prm.x_col_wt, prm.n_bits, "pvac.dom.x_seed", lanes,
+                pallas_sha=pallas_sha,
             )
             noise, fb2 = shactr.choose_k_batch(
-                prm.err_wt, prm.m_bits, "pvac.dom.noise", lanes
+                prm.err_wt, prm.m_bits, "pvac.dom.noise", lanes,
+                pallas_sha=pallas_sha,
             )
-            gath = H[cols]  # [N, x_col_wt, mw]
-            sig = lpn._xor_reduce_last(
-                jnp.swapaxes(gath, 1, 2)
-            )  # fold over columns -> [N, mw]
+            # XOR-accumulate thin gathers: avoids materializing the
+            # [N, x_col_wt, mw] gathered tensor (~1 GB at 8192 lanes), which
+            # costs ~7x the HBM traffic of the running accumulator.
+            sig = H[cols[:, 0]]
+            for j in range(1, prm.x_col_wt):
+                sig = sig ^ H[cols[:, j]]
             # scatter err bits (unique indices -> disjoint bits -> add==xor)
             word = noise // 32
             bit = (noise % 32).astype(U32)
@@ -186,31 +214,31 @@ class DeviceEngine:
     def sigma(self, words: np.ndarray, device_resident: bool = True):
         """Chunked σ generation: big batches run as repeats of one compiled
         8192-lane program plus one pow2-padded remainder call, instead of
-        padding the whole batch to the next power of two."""
+        padding the whole batch to the next power of two.
+
+        All chunks are dispatched back-to-back with no host sync in between
+        (the device link's ~30 ms round trip would otherwise dominate); the
+        fallback flags come back in a single fetch at the end.
+        """
         E = words.shape[0]
         C = self.SIGMA_CHUNK
-        if E <= C:
-            return self._sigma_padded(words, device_resident)
         sigs = []
         fbs = []
         for off in range(0, E, C):
-            s, f = self._sigma_padded(words[off : off + C], device_resident)
+            s, f = self._sigma_padded(words[off : off + C])
             sigs.append(s)
             fbs.append(f)
-        if device_resident:
-            import jax.numpy as jnp
+        sig = sigs[0] if len(sigs) == 1 else jnp.concatenate(sigs, axis=0)
+        fb = fbs[0] if len(fbs) == 1 else jnp.concatenate(fbs, axis=0)
+        if not device_resident:
+            sig = np.asarray(sig)
+        return sig, np.asarray(fb)
 
-            sig = jnp.concatenate(sigs, axis=0)
-        else:
-            sig = np.concatenate(sigs, axis=0)
-        return sig, np.concatenate(fbs)
-
-    def _sigma_padded(self, words: np.ndarray, device_resident: bool = True):
+    def _sigma_padded(self, words: np.ndarray):
         """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32,
-        fallback [E] bool numpy).
+        fallback [E] bool), both device-resident jax arrays (no host sync).
 
-        With device_resident=True (default) the σ matrix stays on the
-        accelerator (a jax array); consumers that need host bytes
+        σ stays on the accelerator; consumers that need host bytes
         (serialization, edge compaction) convert lazily.  Decryption and
         further homomorphic ops never read σ on the host, so op chains
         avoid the device->host transfer entirely.
@@ -225,8 +253,7 @@ class DeviceEngine:
             axis=-1,
         )
         sig, fb = self._sigma_fn(n_pad)(self.H_dev, jnp.asarray(lanes))
-        sig = sig[:E] if device_resident else np.asarray(sig)[:E]
-        return sig, np.asarray(fb)[:E]
+        return sig[:E], fb[:E]
 
 
 def enable_device(pk: PubKey, sk: SecKey | None = None, device=None,

@@ -6,12 +6,17 @@ real multi-device code paths without TPU hardware.  Must run before the first
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PVAC_TEST_TPU=1 runs the suite against the attached accelerator instead
+# (used by tools/tpu_session.py for the device-only kernel tests).
+_USE_TPU = os.environ.get("PVAC_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import json
 import pathlib
@@ -25,7 +30,8 @@ import jax
 # The axon TPU plugin in this image overrides the JAX_PLATFORMS env var, so
 # force the CPU platform through the config API as well — otherwise every op
 # in the test suite round-trips through the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/pvac_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
