@@ -207,7 +207,10 @@ def _ctr_kernel(const, contribs, n_fields: int, R: int, nb: int,
         state = _compress(state, [word(b, w, U32(0)) for w in range(16)])
     mid = state
 
-    if R <= 64:
+    import os
+
+    unroll = os.environ.get("PVAC_SHA_UNROLL", "0") == "1"
+    if unroll and R <= 64:
         # static unroll: constant message words fold at compile time and all
         # stores use static indices
         for r in range(R):
