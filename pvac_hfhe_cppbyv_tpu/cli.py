@@ -103,6 +103,8 @@ def cmd_dec_text(args):
 
 def cmd_inspect(args):
     """Structural dump of a .ct file (decode_ct.cpp equivalent)."""
+    import numpy as np
+
     from . import load_cts
     from .core import bitvec as BV
     from .types import RRULE_BASE
@@ -112,7 +114,7 @@ def cmd_inspect(args):
     for i, c in enumerate(cts):
         mbits = c.sigma.shape[1] * 32
         dens = (
-            float(BV.popcnt(c.sigma).sum()) / (c.n_edges * mbits)
+            float(BV.popcnt(np.asarray(c.sigma)).sum()) / (c.n_edges * mbits)
             if c.n_edges else 0.0
         )
         n_base = sum(1 for L in c.layers if L.rule == RRULE_BASE)

@@ -261,13 +261,13 @@ def cores_from_streams(u64s, top_u, s32_flat, prm):
     return r, rej
 
 
-def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
-                    dom_hashes: np.ndarray) -> np.ndarray:
-    """N independent prf_R_core evaluations (host/numpy path).
+def prf_cores_batch_start(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                          dom_hashes: np.ndarray):
+    """N independent prf_R_core evaluations, split into dispatch + finalize
+    so callers can overlap host work with the device computation.
 
     seeds_u64: [N, 3] uint64 (ztag, nonce_lo, nonce_hi); dom_hashes [N].
-    Returns [N, 4] uint32 field limbs.
-    """
+    Returns a zero-arg finalize() -> [N, 4] uint32 field limbs (numpy)."""
     prm = pk.prm
     N = seeds_u64.shape[0]
     nblocks = n_ybits_blocks(prm)
@@ -281,8 +281,12 @@ def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
 
     engine = getattr(pk, "_engine", None)
     if engine is not None and engine.s32_dev is not None:
-        r, rej_any = engine.prf_cores(keys, nonces, toep_keys, toep_nonces)
-        rej = rej_any[:, None]
+        r_dev, rej_dev = engine.prf_cores_async(
+            keys, nonces, toep_keys, toep_nonces
+        )
+
+        def fetch():
+            return np.asarray(r_dev), np.asarray(rej_dev)[:, None]
     else:
         from .. import native
 
@@ -294,17 +298,36 @@ def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
         else:
             u64s = aesv.ctr_keystream_u64(keys, nonces, nblocks)
             top_u = aesv.ctr_keystream_u64(toep_keys, toep_nonces, 1)
-        r, rej = cores_from_streams(u64s, top_u, sk.s_words32().reshape(-1), prm)
+        r0, rej0 = cores_from_streams(
+            u64s, top_u, sk.s_words32().reshape(-1), prm
+        )
 
-    # exact fallback for bounded-rejection lanes (probability ~ rows*den/2^64)
-    if rej.any():
-        for n in np.nonzero(rej.any(axis=-1))[0]:
-            seed = RSeed(
-                int(seeds_u64[n, 0]),
-                type("N", (), {"lo": int(seeds_u64[n, 1]), "hi": int(seeds_u64[n, 2])})(),
-            )
-            r[n] = _prf_core_exact_scalar(pk, sk, seed, int(dom_hashes[n]))
-    return r
+        def fetch():
+            return r0, rej0
+
+    def finalize():
+        r, rej = fetch()
+        # exact fallback for bounded-rejection lanes
+        # (probability ~ rows*den/2^64)
+        if rej.any():
+            for n in np.nonzero(rej.any(axis=-1))[0]:
+                seed = RSeed(
+                    int(seeds_u64[n, 0]),
+                    type("N", (), {
+                        "lo": int(seeds_u64[n, 1]),
+                        "hi": int(seeds_u64[n, 2]),
+                    })(),
+                )
+                r[n] = _prf_core_exact_scalar(pk, sk, seed, int(dom_hashes[n]))
+        return r
+
+    return finalize
+
+
+def prf_cores_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
+                    dom_hashes: np.ndarray) -> np.ndarray:
+    """Synchronous prf_cores_batch_start: dispatch + finalize in one call."""
+    return prf_cores_batch_start(pk, sk, seeds_u64, dom_hashes)()
 
 
 def _prf_core_exact_scalar(pk: PubKey, sk: SecKey, seed, dom_hash: int) -> np.ndarray:

@@ -70,7 +70,7 @@ def apply_perm_sigma(sigma, inv) -> np.ndarray:
 def ubk_apply(pk: PubKey, C: Cipher) -> None:
     """Permute every edge's σ in place (matrix.hpp:306-310)."""
     if C.n_edges:
-        C.sigma = apply_perm_sigma(C.sigma, pk.ubk.inv)
+        C.sigma = apply_perm_sigma(np.asarray(C.sigma), pk.ubk.inv)
 
 
 def gen_H(pk: PubKey) -> None:
@@ -137,12 +137,14 @@ def prg_layer_ztag(canon_tag: int, nonce: Nonce128) -> int:
     return struct.unpack("<Q", H.sha256(msg)[:8])[0]
 
 
-def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarray:
-    """Batched sigma_from_H (matrix.hpp:267-303) over E edges.
+def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
+    """Batched sigma_from_H (matrix.hpp:267-303) over E edges, split into
+    dispatch + finalize so callers can overlap other work with the device
+    computation.
 
-    All arguments after pk are arrays [E] (uint64-compatible).  Returns
-    [E, m_words32] uint32 packed syndromes.
-    """
+    All arguments after pk are arrays [E] (uint64-compatible).  Returns a
+    zero-arg finalize() -> [E, m_words32] uint32 packed syndromes (a
+    device-resident jax array on the engine path)."""
     prm = pk.prm
     E = len(ztag)
     words = np.zeros((E, 7), dtype=np.uint64)
@@ -179,17 +181,30 @@ def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarr
         eids = np.repeat(np.arange(E), prm.err_wt)
         r = noise.reshape(-1)
         np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
-    if fb.any():
-        sig = np.asarray(sig)
-        for e in np.nonzero(fb)[0]:
-            w = [int(words[e, j]) for j in range(7)]
-            c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits, Dom.X_SEED, w)
-            nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits, Dom.NOISE, w)
-            v = np.bitwise_xor.reduce(pk.H[c], axis=0)
-            for rr in nn:
-                v[rr // 32] ^= U32(1 << (rr % 32))
-            sig[e] = v
-    return sig
+
+    def finalize():
+        nonlocal sig
+        fbh = np.asarray(fb)
+        if fbh.any():
+            sig = np.asarray(sig)
+            for e in np.nonzero(fbh)[0]:
+                w = [int(words[e, j]) for j in range(7)]
+                c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits,
+                                           Dom.X_SEED, w)
+                nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits,
+                                            Dom.NOISE, w)
+                v = np.bitwise_xor.reduce(pk.H[c], axis=0)
+                for rr in nn:
+                    v[rr // 32] ^= U32(1 << (rr % 32))
+                sig[e] = v
+        return sig
+
+    return finalize
+
+
+def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarray:
+    """Synchronous sigma_words_start: dispatch + finalize in one call."""
+    return sigma_words_start(pk, ztag, nonce_lo, nonce_hi, idx, ch, salt)()
 
 
 def sigma_from_H(pk: PubKey, ztag: int, nonce: Nonce128, idx: int, ch: int,

@@ -98,7 +98,7 @@ def _put_cipher(w: _W, C: Cipher) -> None:
     for L in C.layers:
         _put_layer(w, L)
     w64 = FV.to_u64_pairs(C.w)
-    sig64 = BV.to_u64_words(C.sigma) if C.sigma.shape[1] else np.zeros(
+    sig64 = BV.to_u64_words(np.asarray(C.sigma)) if C.sigma.shape[1] else np.zeros(
         (C.n_edges, 0), dtype=np.uint64)
     nbits = C.sigma.shape[1] * 32
     for e in range(C.n_edges):

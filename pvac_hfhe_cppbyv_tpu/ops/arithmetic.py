@@ -14,7 +14,7 @@ from ..core import fieldv as FV
 from ..core.random import csprng_u64, csprng_u64_array
 from ..crypto import matrix
 from ..types import (
-    Cipher, Layer, Nonce128, PubKey, RSeed,
+    Cipher, Layer, LazySigma, Nonce128, PubKey, RSeed,
     RRULE_PROD, SGN_P, SGN_M, make_nonce128,
 )
 from .encrypt import combine_ciphers, compact_layers, guard_budget
@@ -66,7 +66,14 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
     off = 0
     for s, n in zip(staged, counts):
         mw = pk.prm.sigma_words32
-        sig = sig_all[off : off + n] if n else np.zeros((0, mw), dtype=U32)
+        if n == 0:
+            sig = np.zeros((0, mw), dtype=U32)
+        elif isinstance(sig_all, np.ndarray):
+            sig = sig_all[off : off + n]
+        else:
+            # lazy view: no eager device slice (compile churn + round trips
+            # on a high-latency link); σ materializes only if read on host
+            sig = LazySigma(sig_all, np.arange(off, off + n))
         off += n
         C = Cipher(
             s["layers"],

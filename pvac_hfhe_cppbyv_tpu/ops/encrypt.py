@@ -24,7 +24,7 @@ from ..core import fieldv as FV
 from ..core.random import csprng_u64, csprng_u64_array
 from ..crypto import lpn, matrix
 from ..types import (
-    Cipher, Dom, Layer, Nonce128, PubKey, RSeed, SecKey,
+    Cipher, Dom, Layer, LazySigma, Nonce128, PubKey, RSeed, SecKey,
     RRULE_BASE, RRULE_PROD, SGN_P, SGN_M, make_nonce128, sgn_val,
 )
 
@@ -52,8 +52,17 @@ def sigma_density(pk: PubKey, C: Cipher) -> float:
     """Mean σ bit density (encrypt.hpp:29-37)."""
     if C.n_edges == 0:
         return 0.0
-    ones = int(BV.popcnt(C.sigma).sum())
+    ones = int(BV.popcnt(np.asarray(C.sigma)).sum())
     return ones / float(C.n_edges * pk.prm.m_bits)
+
+
+def _concat_sigma(a, b):
+    """Concatenate two σ matrices, staying lazy/on-device when possible
+    (np.concatenate on a device operand would silently fetch it)."""
+    if (isinstance(a, LazySigma) and isinstance(b, LazySigma)
+            and a.base is b.base):
+        return LazySigma(a.base, np.concatenate([a.rows, b.rows]))
+    return np.concatenate([np.asarray(a), np.asarray(b)])
 
 
 def _weights_to_ints(w: np.ndarray) -> list[int]:
@@ -196,7 +205,8 @@ class _LayerPlan:
     """Host-side plan of one fresh BASE layer: all randomness and index
     choices drawn, PRF requests collected for batching."""
 
-    __slots__ = ("seed", "value", "edges", "n_delta", "z2", "z3")
+    __slots__ = ("seed", "value", "edges", "n_delta", "z2", "z3",
+                 "vstruct", "z2g", "z3g", "skel_idx", "skel_ch", "skel_inv")
 
     def __init__(self, pk: PubKey, value: int, depth_hint: int):
         nonce = make_nonce128()
@@ -224,25 +234,71 @@ def _prf_requests(plan: _LayerPlan) -> list[tuple[RSeed, str]]:
     return reqs
 
 
-def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple]:
-    """Given this layer's resolved PRF cores (in request order), draw the
-    edge set: [(idx, ch, weight_int)].  Mirrors encrypt.hpp:162-252."""
-    prm = pk.prm
-    B = prm.B
+def _draw_structure(pk: PubKey, plan: _LayerPlan) -> None:
+    """Draw everything PRF-independent for one layer: edge indices, signs
+    and the free random weights (the CSPRNG draw order exactly mirrors the
+    single-pass encryptor, encrypt.hpp:162-252).  Fills plan.vstruct /
+    plan.z2g / plan.z3g and the (idx, ch) edge skeleton, so σ generation can
+    be dispatched before the PRF results arrive."""
+    B = pk.prm.B
+    S = 8
+    used: set = set()
+    idxs = [_pick_unique_idx(B, used) for _ in range(S)]
+    chs = [csprng_u64() & 1 for _ in range(S)]
+    rs = [F.rand_fp_nonzero() for _ in range(S - 1)]
+    plan.vstruct = (idxs, chs, rs)
+    skel = [(idxs[j], chs[j]) for j in range(S)]
+
+    plan.z2g = []
+    for _ in range(plan.z2):
+        i = csprng_u64() % B
+        j = _pick_distinct(B, i)
+        s1 = csprng_u64() & 1
+        s2 = s1 ^ 1
+        r_i = F.rand_fp_nonzero()
+        plan.z2g.append((i, j, s1, s2, r_i))
+        skel.append((i, s1))
+        skel.append((j, s2))
+
+    plan.z3g = []
+    for _ in range(plan.z3):
+        i = csprng_u64() % B
+        j = _pick_distinct(B, i)
+        k = _pick_distinct(B, i, j)
+        s1, s2, s3 = csprng_u64() & 1, csprng_u64() & 1, csprng_u64() & 1
+        a = F.rand_fp_nonzero()
+        b = F.rand_fp_nonzero()
+        plan.z3g.append((i, j, k, s1, s2, s3, a, b))
+        skel.append((i, s1))
+        skel.append((j, s2))
+        skel.append((k, s3))
+
+    # Pre-aggregate duplicate (idx, ch) pairs: weights of merged edges sum
+    # later; σ is generated once per merged edge (equivalent to the
+    # reference's post-hoc compact_edges, encrypt.hpp:39-71, since merged σ
+    # is fresh uniform camouflage either way).
+    key = np.asarray([i * 2 + c for (i, c) in skel], dtype=np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    plan.skel_idx = (uniq // 2).astype(np.int32)
+    plan.skel_ch = (uniq & 1).astype(np.int8)
+    plan.skel_inv = inv.astype(np.int64)
+
+
+def _weights_from_cores(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[int]:
+    """Given the layer's resolved PRF cores (request order), compute the
+    merged-edge weights for the drawn structure (encrypt.hpp:162-252)."""
     R = F.fp_mul(F.fp_mul(cores[0], cores[1]), cores[2])
     deltas = []
     for i in range(3, len(cores), 3):
         deltas.append(F.fp_mul(F.fp_mul(cores[i], cores[i + 1]), cores[i + 2]))
 
-    edges = []
+    ws = []
     S = 8
-    used: set = set()
-    idxs = [_pick_unique_idx(B, used) for _ in range(S)]
-    chs = [csprng_u64() & 1 for _ in range(S)]
+    idxs, chs, rs_free = plan.vstruct
     sumg = 0
     rs = []
     for j in range(S - 1):
-        r = F.rand_fp_nonzero()
+        r = rs_free[j]
         rs.append(r)
         term = F.fp_mul(r, pk.powg_B[idxs[j]])
         sumg = F.fp_add(sumg, term) if sgn_val(chs[j]) > 0 else F.fp_sub(sumg, term)
@@ -250,7 +306,7 @@ def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple
     r_last = F.fp_mul(F.fp_sub(plan.value, sumg), F.fp_inv(g_last))
     rs.append(F.fp_neg(r_last) if sgn_val(chs[S - 1]) < 0 else r_last)
     for j in range(S):
-        edges.append((idxs[j], chs[j], F.fp_mul(rs[j], R)))
+        ws.append(F.fp_mul(rs[j], R))
 
     total = plan.z2 + plan.z3
     delta_acc = 0
@@ -266,29 +322,18 @@ def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple
         delta_acc = F.fp_add(delta_acc, d)
         return d
 
-    for _ in range(plan.z2):
-        i = csprng_u64() % B
-        j = _pick_distinct(B, i)
-        s1 = csprng_u64() & 1
-        s2 = s1 ^ 1
+    for (i, j, s1, s2, r_i) in plan.z2g:
         Delta = next_delta()
         group_id += 1
         Dp = Delta if sgn_val(s1) > 0 else F.fp_neg(Delta)
         gi, gj = pk.powg_B[i], pk.powg_B[j]
-        r_i = F.rand_fp_nonzero()
         r_j = F.fp_mul(F.fp_sub(F.fp_mul(r_i, gi), Dp), F.fp_inv(gj))
-        edges.append((i, s1, F.fp_mul(r_i, R)))
-        edges.append((j, s2, F.fp_mul(r_j, R)))
+        ws.append(F.fp_mul(r_i, R))
+        ws.append(F.fp_mul(r_j, R))
 
-    for _ in range(plan.z3):
-        i = csprng_u64() % B
-        j = _pick_distinct(B, i)
-        k = _pick_distinct(B, i, j)
-        s1, s2, s3 = csprng_u64() & 1, csprng_u64() & 1, csprng_u64() & 1
+    for (i, j, k, s1, s2, s3, a, b) in plan.z3g:
         Delta = next_delta()
         group_id += 1
-        a = F.rand_fp_nonzero()
-        b = F.rand_fp_nonzero()
         t1 = F.fp_mul(a, pk.powg_B[i])
         t2 = F.fp_mul(b, pk.powg_B[j])
         if sgn_val(s1) < 0:
@@ -297,53 +342,57 @@ def _resolve_layer(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[tuple
             t2 = F.fp_neg(t2)
         gk = pk.powg_B[k] if sgn_val(s3) > 0 else F.fp_neg(pk.powg_B[k])
         c = F.fp_mul(F.fp_sub(Delta, F.fp_add(t1, t2)), F.fp_inv(gk))
-        edges.append((i, s1, F.fp_mul(a, R)))
-        edges.append((j, s2, F.fp_mul(b, R)))
-        edges.append((k, s3, F.fp_mul(c, R)))
-    return edges
+        ws.append(F.fp_mul(a, R))
+        ws.append(F.fp_mul(b, R))
+        ws.append(F.fp_mul(c, R))
+
+    # fold duplicate (idx, ch) edges: field-sum of member weights
+    merged = [0] * len(plan.skel_idx)
+    for pos, g in enumerate(plan.skel_inv):
+        merged[g] = F.fp_add(merged[g], ws[pos])
+    return merged
 
 
-def _sigma_for_plans(pk: PubKey, plans: list[_LayerPlan]) -> list[np.ndarray]:
-    """One σ batch covering every edge of every planned layer; returns the
-    per-plan σ matrices."""
+def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
+    """Dispatch one σ batch covering every (merged) skeleton edge of every
+    planned layer.  Returns finalize() -> (sig_all, offsets); sig_all stays
+    device-resident on the engine path."""
     idxs, chs, zt, nlo, nhi = [], [], [], [], []
+    offsets = [0]
     for plan in plans:
-        for (idx, ch, _w) in plan.edges:
-            idxs.append(idx)
-            chs.append(ch)
-            zt.append(plan.seed.ztag)
-            nlo.append(plan.seed.nonce.lo)
-            nhi.append(plan.seed.nonce.hi)
+        idxs.append(plan.skel_idx)
+        chs.append(plan.skel_ch)
+        n = len(plan.skel_idx)
+        zt.append(np.full(n, plan.seed.ztag, dtype=np.uint64))
+        nlo.append(np.full(n, plan.seed.nonce.lo, dtype=np.uint64))
+        nhi.append(np.full(n, plan.seed.nonce.hi, dtype=np.uint64))
+        offsets.append(offsets[-1] + n)
+    idxs = np.concatenate(idxs).astype(np.uint64)
+    chs = np.concatenate(chs).astype(np.uint64)
     salts = csprng_u64_array(len(idxs))
-    sig = matrix.sigma_words(
+    fin = matrix.sigma_words_start(
         pk,
-        np.asarray(zt, dtype=np.uint64), np.asarray(nlo, dtype=np.uint64),
-        np.asarray(nhi, dtype=np.uint64), np.asarray(idxs, dtype=np.uint64),
-        np.asarray(chs, dtype=np.uint64), np.asarray(salts, dtype=np.uint64),
+        np.concatenate(zt), np.concatenate(nlo), np.concatenate(nhi),
+        idxs, chs, np.asarray(salts, dtype=np.uint64),
     )
-    # Fresh-encryption σ always gets compacted host-side right away, so pull
-    # the whole batch in ONE device->host transfer (per-share pulls cost one
-    # link round-trip each).
-    sig = np.asarray(sig)
-    out = []
-    off = 0
-    for plan in plans:
-        n = len(plan.edges)
-        out.append(sig[off : off + n])
-        off += n
-    return out
+
+    def finalize():
+        return fin(), offsets
+
+    return finalize
 
 
-def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, sig: np.ndarray) -> Cipher:
-    """Assemble one single-BASE-layer Cipher from a resolved plan + its
-    pre-generated σ rows."""
-    n = len(plan.edges)
+def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, weights: list[int],
+                            sig) -> Cipher:
+    """Assemble one single-BASE-layer Cipher from a drawn structure, its
+    merged weights and its pre-generated σ rows."""
+    n = len(plan.skel_idx)
     return Cipher(
         [Layer(rule=RRULE_BASE, seed=plan.seed)],
         np.zeros(n, dtype=np.int32),
-        np.asarray([e[0] for e in plan.edges], dtype=np.int32),
-        np.asarray([e[1] for e in plan.edges], dtype=np.int8),
-        FV.from_ints([e[2] for e in plan.edges]),
+        plan.skel_idx,
+        plan.skel_ch,
+        FV.from_ints(weights),
         sig,
     )
 
@@ -367,7 +416,16 @@ def _shuffle_edges(C: Cipher) -> None:
 
 def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
                        depth_hints: list[int]) -> list[Cipher]:
-    """Batch of single-layer encryptions — one PRF batch + one σ batch."""
+    """Batch of single-layer encryptions — one PRF batch + one σ batch.
+
+    The PRF and σ device programs are dispatched back-to-back before either
+    result is fetched, and the host computes weights while σ generation is
+    still in flight: over a high-latency device link the two fetches are the
+    only synchronization points.  Duplicate (idx, ch) edges are merged
+    *before* σ generation (same output shape as the reference's post-hoc
+    compact_edges, encrypt.hpp:39-71), and σ stays device-resident until a
+    consumer needs host bytes.
+    """
     plans = [_LayerPlan(pk, v, d) for v, d in zip(values, depth_hints)]
     reqs = []
     spans = []
@@ -379,14 +437,26 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
         [[s.ztag, s.nonce.lo, s.nonce.hi] for s, _ in reqs], dtype=np.uint64
     )
     dh = np.array([lpn.DOM_HASH[d] for _, d in reqs], dtype=np.uint64)
-    cores = FV.to_ints(lpn.prf_cores_batch(pk, sk, seeds, dh))
-    for p, (off, n) in zip(plans, spans):
-        p.edges = _resolve_layer(pk, p, cores[off : off + n])
-    sigs = _sigma_for_plans(pk, plans)
+    prf_fin = lpn.prf_cores_batch_start(pk, sk, seeds, dh)
+    for p in plans:
+        _draw_structure(pk, p)
+    sig_fin = _sigma_for_plans_start(pk, plans)
+    cores = FV.to_ints(prf_fin())
+    weights = [
+        _weights_from_cores(pk, p, cores[off : off + n])
+        for p, (off, n) in zip(plans, spans)
+    ]
+    sig_all, offsets = sig_fin()
+    if isinstance(sig_all, np.ndarray):
+        views = [sig_all[offsets[i] : offsets[i + 1]] for i in range(len(plans))]
+    else:
+        views = [
+            LazySigma(sig_all, np.arange(offsets[i], offsets[i + 1]))
+            for i in range(len(plans))
+        ]
     out = []
-    for p, sig in zip(plans, sigs):
-        C = _build_cipher_from_plan(pk, p, sig)
-        compact_edges(pk, C)
+    for p, ws, sig in zip(plans, weights, views):
+        C = _build_cipher_from_plan(pk, p, ws, sig)
         guard_budget(pk, C, "enc")
         _shuffle_edges(C)
         out.append(C)
@@ -413,7 +483,7 @@ def combine_ciphers(pk: PubKey, a: Cipher, b: Cipher) -> Cipher:
         np.concatenate([a.idx, b.idx]),
         np.concatenate([a.ch, b.ch]),
         np.concatenate([a.w, b.w]),
-        np.concatenate([a.sigma, b.sigma]),
+        _concat_sigma(a.sigma, b.sigma),
     )
     guard_budget(pk, C, "combine")
     compact_layers(C)

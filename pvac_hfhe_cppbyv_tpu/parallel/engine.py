@@ -121,15 +121,15 @@ class DeviceEngine:
 
     PRF_CHUNK = 1024
 
-    def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
-                  toep_keys: np.ndarray, toep_nonces: np.ndarray):
-        """[N,32] u8 keys + [N] u64 nonces (x2 for toep) -> (limbs [N,4]
-        numpy, rej [N] bool numpy).
+    def prf_cores_async(self, keys: np.ndarray, nonces: np.ndarray,
+                        toep_keys: np.ndarray, toep_nonces: np.ndarray):
+        """[N,32] u8 keys + [N] u64 nonces (x2 for toep) -> (limbs [N,4],
+        rej [N] bool), both device-resident jax arrays.
 
         Chunked like sigma(): all chunk programs are dispatched without an
         intervening sync (the device link has ~30 ms round-trip latency, so
-        per-chunk blocking fetches would dominate) and the results come back
-        in one fetch at the end.
+        per-chunk blocking fetches would dominate); the caller fetches when
+        it needs the values.
         """
         N = keys.shape[0]
         C = self.PRF_CHUNK
@@ -142,10 +142,13 @@ class DeviceEngine:
                 )
                 rs.append(r)
                 rejs.append(rej)
-            r = jnp.concatenate(rs)
-            rej = jnp.concatenate(rejs)
-            return np.asarray(r), np.asarray(rej)
-        r, rej = self._prf_chunk(keys, nonces, toep_keys, toep_nonces)
+            return jnp.concatenate(rs), jnp.concatenate(rejs)
+        return self._prf_chunk(keys, nonces, toep_keys, toep_nonces)
+
+    def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
+                  toep_keys: np.ndarray, toep_nonces: np.ndarray):
+        """Synchronous prf_cores_async -> (numpy limbs, numpy rej)."""
+        r, rej = self.prf_cores_async(keys, nonces, toep_keys, toep_nonces)
         return np.asarray(r), np.asarray(rej)
 
     def _prf_chunk(self, keys, nonces, toep_keys, toep_nonces):
@@ -232,7 +235,7 @@ class DeviceEngine:
         fb = fbs[0] if len(fbs) == 1 else jnp.concatenate(fbs, axis=0)
         if not device_resident:
             sig = np.asarray(sig)
-        return sig, np.asarray(fb)
+        return sig, fb  # fb stays device-resident; callers fetch when needed
 
     def _sigma_padded(self, words: np.ndarray):
         """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32,

@@ -76,6 +76,60 @@ class Ubk:
     inv: np.ndarray   # int32 [m_bits]
 
 
+class LazySigma:
+    """Device-resident σ view: a (device base matrix, host row indices)
+    pair.
+
+    Slicing, permutation (shuffle) and same-base concatenation compose on
+    the host index array with ZERO device dispatches — over a high-latency
+    device link, eager per-ciphertext slice/gather ops each risk a fresh
+    XLA compile and a round trip.  ``np.asarray`` materializes by gathering
+    only the referenced rows on device and fetching them in one transfer.
+    Ops that never read σ (decrypt, ct_mul staging) never pay anything.
+    """
+
+    __slots__ = ("base", "rows")
+
+    def __init__(self, base, rows):
+        self.base = base
+        self.rows = np.asarray(rows, dtype=np.int64)
+
+    @property
+    def shape(self):
+        return (self.rows.shape[0], self.base.shape[1])
+
+    @property
+    def dtype(self):
+        return np.uint32
+
+    def __len__(self):
+        return int(self.rows.shape[0])
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return LazySigma(self.base, self.rows[key])
+        if isinstance(key, np.ndarray) and key.dtype != np.bool_:
+            return LazySigma(self.base, self.rows[key])
+        return np.asarray(self)[key]
+
+    def copy(self) -> "LazySigma":
+        return LazySigma(self.base, self.rows.copy())
+
+    def __array__(self, dtype=None, copy=None):
+        if self.rows.shape[0] == 0:
+            out = np.zeros((0, self.base.shape[1]), dtype=np.uint32)
+        elif type(self.base).__module__.startswith("jax"):
+            import jax.numpy as jnp
+
+            out = np.asarray(jnp.take(self.base, jnp.asarray(self.rows),
+                                      axis=0))
+        else:
+            out = np.asarray(self.base)[self.rows]
+        if dtype is not None:
+            out = out.astype(dtype)
+        return out
+
+
 class Cipher:
     """Layered multigraph ciphertext; edge table as SoA numpy arrays.
 
@@ -100,11 +154,12 @@ class Cipher:
             self.idx = np.asarray(idx, dtype=np.int32)
             self.ch = np.asarray(ch, dtype=np.int8)
             self.w = np.asarray(w, dtype=np.uint32)
-            # σ may be a device-resident jax array (see DeviceEngine.sigma);
-            # keep it there — consumers convert lazily when they need host
-            # bytes.
+            # σ may be a device-resident jax array or a LazySigma view (see
+            # DeviceEngine.sigma); keep it there — consumers convert lazily
+            # when they need host bytes.
+            mod = type(sigma).__module__
             self.sigma = (
-                sigma if type(sigma).__module__.startswith("jax")
+                sigma if mod.startswith("jax") or isinstance(sigma, LazySigma)
                 else np.asarray(sigma, dtype=np.uint32)
             )
 
