@@ -77,10 +77,10 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         off += n
         C = Cipher(
             s["layers"],
-            np.asarray(s["out_lid"], dtype=np.int32),
-            np.asarray(s["out_idx"], dtype=np.int32),
-            np.asarray(s["out_ch"], dtype=np.int8),
-            FV.from_ints(s["out_w"]) if s["out_w"] else np.zeros((0, 4), dtype=U32),
+            s["out_lid"],
+            s["out_idx"],
+            s["out_ch"],
+            s["out_w"],
             sig,
         )
         guard_budget(pk, C, "mul")
@@ -144,34 +144,31 @@ def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
     from .. import native
 
     red = native.reduce_u64_limbs(acc)
-    if red is not None:
-        ws = FV.to_ints(red)
-    else:
-        ws = [
+    if red is None:
+        red = FV.from_ints([
             (int(acc[b, 0]) + (int(acc[b, 1]) << 32)
              + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)) % F.P
             for b in range(len(uniq))
-        ]
-    out_lid, out_idx, out_ch, out_w = [], [], [], []
-    for b in range(len(uniq)):
-        k = int(uniq[b])
-        w = ws[b]
-        if w == 0:
-            continue
-        out_lid.append(base + (k // 2) // Bmod)
-        out_idx.append((k // 2) % Bmod)
-        out_ch.append(SGN_P if (k & 1) == 0 else SGN_M)
-        out_w.append(w)
+        ]) if len(uniq) else np.zeros((0, 4), dtype=U32)
+    nz = red.any(axis=1)
+    ks = uniq[nz]
+    out_lid = (base + (ks // 2) // Bmod).astype(np.int32)
+    out_idx = ((ks // 2) % Bmod).astype(np.int32)
+    out_ch = np.where((ks & 1) == 0, SGN_P, SGN_M).astype(np.int8)
+    out_w = red[nz]
 
+    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
+    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
+    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
     return {
         "layers": layers,
         "out_lid": out_lid,
         "out_idx": out_idx,
         "out_ch": out_ch,
         "out_w": out_w,
-        "zt": np.array([layers[l].seed.ztag for l in out_lid], dtype=np.uint64),
-        "nlo": np.array([layers[l].seed.nonce.lo for l in out_lid], dtype=np.uint64),
-        "nhi": np.array([layers[l].seed.nonce.hi for l in out_lid], dtype=np.uint64),
+        "zt": lz[out_lid],
+        "nlo": ll[out_lid],
+        "nhi": lh[out_lid],
     }
 
 
