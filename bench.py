@@ -89,7 +89,7 @@ def main():
             "(numpy + native C++) path")
 
     ENC_BATCH = 16 if quick else 32
-    MUL_BATCH = 8 if quick else 16
+    MUL_BATCH = 8 if quick else 64
 
     # ---- encryption ----
     t0 = time.time()

@@ -182,13 +182,30 @@ def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
         r = noise.reshape(-1)
         np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
 
-    def finalize():
-        nonlocal sig
-        fbh = np.asarray(fb)
+    return SigmaJob(pk, prm, words, sig, fb)
+
+
+class SigmaJob:
+    """A dispatched σ batch: device-resident (sig, fb) plus the host word
+    fields needed for scalar fallback recomputation.  Callable for
+    single-job use; :func:`sigma_finalize_many` fetches many jobs' fallback
+    flags in one device round trip."""
+
+    __slots__ = ("pk", "prm", "words", "sig", "fb")
+
+    def __init__(self, pk, prm, words, sig, fb):
+        self.pk = pk
+        self.prm = prm
+        self.words = words
+        self.sig = sig
+        self.fb = fb
+
+    def _apply_fallbacks(self, fbh: np.ndarray):
+        prm, pk = self.prm, self.pk
         if fbh.any():
-            sig = np.asarray(sig)
+            sig = np.asarray(self.sig)
             for e in np.nonzero(fbh)[0]:
-                w = [int(words[e, j]) for j in range(7)]
+                w = [int(self.words[e, j]) for j in range(7)]
                 c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits,
                                            Dom.X_SEED, w)
                 nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits,
@@ -197,9 +214,29 @@ def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
                 for rr in nn:
                     v[rr // 32] ^= U32(1 << (rr % 32))
                 sig[e] = v
-        return sig
+            self.sig = sig
+        return self.sig
 
-    return finalize
+    def __call__(self):
+        return self._apply_fallbacks(np.asarray(self.fb))
+
+
+def sigma_finalize_many(jobs: list["SigmaJob"]) -> list:
+    """Finalize many dispatched σ jobs with ONE fallback-flag fetch
+    (each np.asarray(fb) is a full device round trip on a tunneled link)."""
+    if not jobs:
+        return []
+    dev_jobs = [j for j in jobs if not isinstance(j.fb, np.ndarray)]
+    if len(dev_jobs) > 1:
+        import jax.numpy as jnp
+
+        cat = np.asarray(jnp.concatenate([j.fb for j in dev_jobs]))
+        off = 0
+        for j in dev_jobs:
+            n = j.words.shape[0]
+            j.fb = cat[off : off + n]
+            off += n
+    return [j() for j in jobs]
 
 
 def sigma_words(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt) -> np.ndarray:

@@ -175,6 +175,50 @@ def bounded_ok_mask(u64_pairs, M: int):
     return (hi < lim_hi) | ((hi == lim_hi) & (lo <= lim_lo))
 
 
+def draws_and_take(k: int, N: int, label: str | bytes, words_lanes,
+                   overshoot: int = 32, pallas_sha: bool = False):
+    """Vectorized prg_choose_k without the order-compaction step.
+
+    Returns (vals [L, D] int32, take [L, D] bool, fallback [L] bool) where
+    ``take`` marks the first k first-occurrence draws.  Because every
+    consumer of the selected indices is order-insensitive (XOR of H columns,
+    XOR of single bits), the selected set {vals[take]} is all that's needed —
+    skipping the rank->slot scatter of :func:`choose_k_batch`, which is the
+    costliest stage of the σ program on TPU.
+
+    Semantics match the reference prg_choose_k (matrix.hpp:15-92) as a set;
+    lanes where the D-draw window can't produce k uniques (or a bounded
+    rejection occurs) are flagged for the scalar fallback.
+    """
+    xp = np if type(words_lanes).__module__.startswith("numpy") else __import__(
+        "jax.numpy", fromlist=["x"]
+    )
+    D = k + overshoot
+    u64s = stream_u64s(label, words_lanes, D, pallas_sha=pallas_sha)
+    ok = bounded_ok_mask(u64s, N)
+    vals = mod_u64(u64s, N).astype(np.int32)
+    if xp is np:
+        pos = xp.broadcast_to(xp.arange(D, dtype=np.int32)[None, :], vals.shape)
+        packed = vals * np.int32(D) + pos
+        order = xp.argsort(packed, axis=-1)
+        sv = xp.take_along_axis(vals, order, axis=-1)
+        first_sorted = xp.concatenate(
+            [xp.ones_like(sv[:, :1], dtype=bool), sv[:, 1:] != sv[:, :-1]],
+            axis=-1,
+        )
+        first = xp.zeros_like(first_sorted)
+        rows = np.arange(vals.shape[0])[:, None]
+        first[rows, order] = first_sorted
+    else:
+        earlier = xp.tril(xp.ones((D, D), dtype=bool), k=-1)
+        dup = ((vals[:, :, None] == vals[:, None, :]) & earlier[None]).any(-1)
+        first = ~dup
+    rank = xp.cumsum(first.astype(np.int32), axis=-1)
+    take = first & (rank <= k)
+    fallback = (rank[:, -1] < k) | (~ok).any(axis=-1)
+    return vals, take, fallback
+
+
 def choose_k_batch(k: int, N: int, label: str | bytes, words_lanes,
                    overshoot: int = 64, pallas_sha: bool = False):
     """Vectorized prg_choose_k over many lanes.

@@ -48,20 +48,56 @@ def ct_div_const(pk: PubKey, A: Cipher, k: int) -> Cipher:
 
 
 def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]:
-    """Batched ct_mul: all output edges of all pairs share one σ-generation
-    batch (one device call instead of one per product)."""
-    staged = [_ct_mul_stage(pk, A, B) for A, B in pairs]
+    """Batched ct_mul, software-pipelined: host staging (cross product +
+    bucket sums) of product i+1 overlaps the device σ generation of the
+    edges staged so far.  σ work is dispatched in exact SIGMA_CHUNK-lane
+    slices (no per-product padding); the remainder pads once at the end."""
+    CH = 8192
+    staged = []
+    pend = []          # per-product (zt, nlo, nhi, idx, ch, salt) blocks
+    pend_n = 0
+    finals = []        # (finalize, n_lanes) in dispatch order
+
+    def _dispatch(nlanes: int) -> None:
+        """Concatenate pending blocks and dispatch the first nlanes of them;
+        keep any remainder pending."""
+        nonlocal pend, pend_n
+        cat = [np.concatenate([b[j] for b in pend]) for j in range(6)]
+        rem = [c[nlanes:] for c in cat]
+        cat = [c[:nlanes] for c in cat]
+        fin = matrix.sigma_words_start(
+            pk, cat[0], cat[1], cat[2], cat[3], cat[4], cat[5]
+        )
+        finals.append((fin, nlanes))
+        pend = [tuple(rem)] if rem[0].size else []
+        pend_n = int(rem[0].shape[0])
+
+    for A, B in pairs:
+        s = _ct_mul_stage(pk, A, B)
+        staged.append(s)
+        n = len(s["out_lid"])
+        if n:
+            pend.append((
+                s["zt"], s["nlo"], s["nhi"],
+                s["out_idx"].astype(np.uint64),
+                s["out_ch"].astype(np.uint64),
+                csprng_u64_array(n),
+            ))
+            pend_n += n
+            if pend_n >= CH:
+                _dispatch((pend_n // CH) * CH)
+    if pend_n:
+        _dispatch(pend_n)
+
     counts = [len(s["out_lid"]) for s in staged]
     if sum(counts):
-        zt = np.concatenate([s["zt"] for s in staged])
-        nlo = np.concatenate([s["nlo"] for s in staged])
-        nhi = np.concatenate([s["nhi"] for s in staged])
-        idxs = np.concatenate(
-            [np.asarray(s["out_idx"], dtype=np.uint64) for s in staged])
-        chs = np.concatenate(
-            [np.asarray(s["out_ch"], dtype=np.uint64) for s in staged])
-        salts = csprng_u64_array(int(sum(counts)))
-        sig_all = matrix.sigma_words(pk, zt, nlo, nhi, idxs, chs, salts)
+        parts = matrix.sigma_finalize_many([fin for fin, _ in finals])
+        if any(not isinstance(p, np.ndarray) for p in parts):
+            import jax.numpy as jnp
+
+            sig_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        else:
+            sig_all = parts[0] if len(parts) == 1 else np.concatenate(parts)
     out = []
     off = 0
     for s, n in zip(staged, counts):
