@@ -176,7 +176,7 @@ def bounded_ok_mask(u64_pairs, M: int):
 
 
 def draws_and_take(k: int, N: int, label: str | bytes, words_lanes,
-                   overshoot: int = 32, pallas_sha: bool = False):
+                   overshoot: int = 16, pallas_sha: bool = False):
     """Vectorized prg_choose_k without the order-compaction step.
 
     Returns (vals [L, D] int32, take [L, D] bool, fallback [L] bool) where

@@ -275,7 +275,7 @@ class DeviceEngine:
         self._sigma_fn_cache[key] = fn
         return fn
 
-    SIGMA_CHUNK = 8192
+    SIGMA_CHUNK = 16384
 
     def sigma(self, words: np.ndarray, device_resident: bool = True):
         """Chunked σ generation: big batches run as repeats of one compiled
