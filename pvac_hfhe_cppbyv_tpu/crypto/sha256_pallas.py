@@ -83,6 +83,12 @@ def _kernel(nb: int, blk_ref, out_ref):
 # triggers pathological compile times in the CPU fusion emitter).
 INTERPRET = False
 
+# Static round-chain unroll (read once at import: _maybe_jit caches compiled
+# kernels per shape, so a later env toggle could not take effect anyway).
+import os as _os
+
+UNROLL = _os.environ.get("PVAC_SHA_UNROLL", "0") == "1"
+
 
 def _maybe_jit(fn, static_argnums):
     jitted = jax.jit(fn, static_argnums=static_argnums)
@@ -207,10 +213,7 @@ def _ctr_kernel(const, contribs, n_fields: int, R: int, nb: int,
         state = _compress(state, [word(b, w, U32(0)) for w in range(16)])
     mid = state
 
-    import os
-
-    unroll = os.environ.get("PVAC_SHA_UNROLL", "0") == "1"
-    if unroll and R <= 64:
+    if UNROLL and R <= 64:
         # static unroll: constant message words fold at compile time and all
         # stores use static indices
         for r in range(R):

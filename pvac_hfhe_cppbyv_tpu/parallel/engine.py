@@ -288,6 +288,9 @@ class DeviceEngine:
         """
         E = words.shape[0]
         C = self.SIGMA_CHUNK
+        if E == 0:
+            mw = self.prm.sigma_words32
+            return np.zeros((0, mw), dtype=U32), np.zeros(0, dtype=bool)
 
         # Compact transfer form: the (ztag, nonce_lo, nonce_hi) triple is
         # per-layer (few distinct values per batch); ship the deduplicated

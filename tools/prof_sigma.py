@@ -27,7 +27,7 @@ lanes = np.stack(
     [(words & np.uint64(0xFFFFFFFF)).astype(np.uint32),
      (words >> np.uint64(32)).astype(np.uint32)], axis=-1)
 lanes_dev = jax.device_put(jnp.asarray(lanes), dev)
-H_dev = eng.H_dev
+H_dev = eng.Hx_dev  # the sigma program expects H + trailing all-zero row
 
 def _force(r):
     # fetch ONE element (device-side slice, then a 4-byte transfer) so we
