@@ -2,10 +2,15 @@
 
 PY ?= python
 
-.PHONY: test test-v test-q test-slow bench native golden vectors clean
+.PHONY: test test-v test-q test-slow test-all bench native golden vectors clean
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# full tier incl. slow tests (timing uniformity, default-params H digest,
+# depth-3 squaring)
+test-all:
+	$(PY) -m pytest tests/ -q -m ""
 
 test-v:
 	PVAC_DBG=1 $(PY) -m pytest tests/ -v

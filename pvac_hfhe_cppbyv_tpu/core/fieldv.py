@@ -302,6 +302,37 @@ def pow_u64(a, e: int):
     return r
 
 
+def canon_u64_limbs(acc):
+    """[..., 4] uint64 limb accumulators (limb k has weight 2^32k, each limb
+    an unreduced sum < 2^63) -> [..., 4] uint32 canonical field elements.
+
+    Used to reduce segment-summed edge weights (compact_edges / ct_mul bucket
+    aggregation) without Python-int math: carry-propagate the u64 limbs into
+    a 128-bit value plus an overflow o < 2^34, then fold with 2^128 = 2
+    (mod p, since 2^127 = 1).
+    """
+    acc = np.asarray(acc, dtype=np.uint64)
+    limbs = []
+    c = np.zeros(acc.shape[:-1], dtype=np.uint64)
+    for k in range(4):
+        t = acc[..., k] + c  # acc limbs < 2^63, c <= 2^32 -> no u64 overflow
+        limbs.append((t & np.uint64(0xFFFFFFFF)).astype(U32))
+        c = t >> np.uint64(32)
+    x = canon(np.stack(limbs, axis=-1))
+    # overflow contributes c * 2^128 = 2c (mod p); 2c < 2^34 fits two limbs
+    o = c << np.uint64(1)
+    o_limbs = np.stack(
+        [
+            (o & np.uint64(0xFFFFFFFF)).astype(U32),
+            (o >> np.uint64(32)).astype(U32),
+            np.zeros_like(c, dtype=U32),
+            np.zeros_like(c, dtype=U32),
+        ],
+        axis=-1,
+    )
+    return add(x, canon(o_limbs))
+
+
 def is_zero(a):
     """Boolean mask [...,] of which elements are zero."""
     xp = _xp(a)

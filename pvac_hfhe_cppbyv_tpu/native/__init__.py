@@ -40,7 +40,8 @@ def _compile() -> pathlib.Path | None:
     for flags in (["-march=native"], []):
         try:
             subprocess.run(
-                ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", *flags,
+                ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-pthread",
+                 *flags,
                  *extra, "-o", str(out), str(_SRC)],
                 check=True, capture_output=True, timeout=120,
             )

@@ -16,6 +16,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 
 #if defined(__AES__) && defined(__SSE2__)
 #include <wmmintrin.h>
@@ -163,13 +165,15 @@ void pvacn_shactr_streams(
 
 // prg_choose_k over many lanes (reference matrix.hpp:15-92 semantics,
 // including bounded() rejection with x <= lim).  indices out [n_lanes, k].
-void pvacn_choose_k(
+// Lanes are independent streams, so big batches (gen_H's 16384 columns)
+// split across hardware threads.
+static void choose_k_range(
     const uint8_t* label, uint64_t label_len,
     const uint64_t* words, uint64_t n_words,
-    uint64_t n_lanes, uint32_t k, uint64_t N,
+    uint64_t l0, uint64_t l1, uint32_t k, uint64_t N,
     int32_t* out) {
     uint64_t lim = N <= 1 ? ~0ull : ~0ull - (~0ull % N);
-    for (uint64_t l = 0; l < n_lanes; l++) {
+    for (uint64_t l = l0; l < l1; l++) {
         // sequential stream for this lane
         uint64_t ctr = 0;
         uint8_t d[32];
@@ -208,6 +212,29 @@ void pvacn_choose_k(
             }
         }
     }
+}
+
+void pvacn_choose_k(
+    const uint8_t* label, uint64_t label_len,
+    const uint64_t* words, uint64_t n_words,
+    uint64_t n_lanes, uint32_t k, uint64_t N,
+    int32_t* out) {
+    unsigned hw = std::thread::hardware_concurrency();
+    uint64_t nt = hw ? hw : 1;
+    if (nt > n_lanes / 256) nt = n_lanes / 256;  // don't spawn for tiny jobs
+    if (nt <= 1) {
+        choose_k_range(label, label_len, words, n_words, 0, n_lanes, k, N, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    uint64_t per = (n_lanes + nt - 1) / nt;
+    for (uint64_t t = 0; t < nt; t++) {
+        uint64_t l0 = t * per, l1 = l0 + per < n_lanes ? l0 + per : n_lanes;
+        if (l0 >= l1) break;
+        ts.emplace_back(choose_k_range, label, label_len, words, n_words,
+                        l0, l1, k, N, out);
+    }
+    for (auto& th : ts) th.join();
 }
 
 // ---------------------------------------------------------------------------

@@ -72,8 +72,12 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         pend = [tuple(rem)] if rem[0].size else []
         pend_n = int(rem[0].shape[0])
 
-    for A, B in pairs:
-        s = _ct_mul_stage(pk, A, B)
+    # Phase 1: start all stagings.  Device-grid products (big edge sets)
+    # dispatch their MXU programs here and run concurrently; host products
+    # compute inline.  Phase 2 finalizes in order and feeds the σ pipeline.
+    starts = [_ct_mul_stage_start(pk, A, B) for A, B in pairs]
+    for fin in starts:
+        s = fin()
         staged.append(s)
         n = len(s["out_lid"])
         if n:
@@ -125,9 +129,35 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
     return out
 
 
-def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
-    """Everything in ct_mul except σ generation; returns the staged edge
-    set + σ request fields."""
+# Above this many edge pairs the host O(|A|*|B|) aggregation loses to the
+# device dense-grid path (parallel/mulgrid.py), whose cost scales with the
+# layer grid LA*LB*B^2 instead.
+MULGRID_PAIR_THRESHOLD = 1 << 20
+
+
+def _agg_slots(C: Cipher, Bmod: int):
+    """Pre-aggregate edges by (layer, sign, idx) slot: weights field-sum.
+
+    slot = (layer*2 + sign)*B + idx — the dense-grid layout of mulgrid.py.
+    Valid as a ct_mul preprocessing step because the reference's pair key
+    (arithmetic.hpp:81) depends only on each edge's slot.
+    """
+    key = ((C.layer_id.astype(np.int64) * 2 + C.ch) * Bmod
+           + C.idx.astype(np.int64))
+    uniq, inv = np.unique(key, return_inverse=True)
+    acc = np.zeros((len(uniq), 4), dtype=np.uint64)
+    np.add.at(acc, inv, C.w.astype(np.uint64))
+
+    from .. import native
+
+    red = native.reduce_u64_limbs(acc)
+    if red is None:
+        red = FV.canon_u64_limbs(acc)
+    return uniq.astype(np.int32), red
+
+
+def _mul_layers(pk: PubKey, A: Cipher, B: Cipher):
+    """PROD layer grid construction (arithmetic.hpp:50-70)."""
     LA, LB = A.n_layers, B.n_layers
     layers = [Layer(L.rule, L.seed, L.pa, L.pb) for L in A.layers]
     off = LA
@@ -137,14 +167,113 @@ def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
         else:
             layers.append(Layer(L.rule, L.seed, L.pa, L.pb))
     base = len(layers)
-    prod_seeds = []
     for la in range(LA):
         for lb in range(LB):
             nonce = make_nonce128()
             seed = RSeed(matrix.prg_layer_ztag(pk.canon_tag, nonce), nonce)
             layers.append(Layer(RRULE_PROD, seed, la, off + lb))
-            prod_seeds.append(seed)
+    return layers, base
 
+
+def _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w):
+    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
+    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
+    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
+    return {
+        "layers": layers,
+        "out_lid": out_lid,
+        "out_idx": out_idx,
+        "out_ch": out_ch,
+        "out_w": out_w,
+        "zt": lz[out_lid],
+        "nlo": ll[out_lid],
+        "nhi": lh[out_lid],
+    }
+
+
+def _ct_mul_stage_start(pk: PubKey, A: Cipher, B: Cipher):
+    """Start one ct_mul staging; returns finalize() -> staged dict.
+
+    Big products route the cross-product + bucket reduction through the
+    device dense-grid program (dispatched here, fetched in finalize);
+    small ones aggregate on the host inline.
+    """
+    LA, LB = A.n_layers, B.n_layers
+    layers, base = _mul_layers(pk, A, B)
+    nA, nB = A.n_edges, B.n_edges
+    Bmod = pk.prm.B
+
+    engine = getattr(pk, "_engine", None)
+    if engine is not None and nA * nB >= MULGRID_PAIR_THRESHOLD:
+        return _stage_device(pk, engine, A, B, layers, base)
+
+    def finalize_host():
+        return _ct_mul_stage_host(pk, layers, base, A, B)
+
+    return finalize_host
+
+
+# Device-grid layer-block size: the grid program's HBM footprint grows with
+# LA*LB, so big products run as a grid of <=LBLOCK x LBLOCK layer blocks
+# (each block ~250 MB of accumulator at default B).
+MULGRID_LBLOCK = 64
+
+
+def _stage_device(pk: PubKey, engine, A: Cipher, B: Cipher, layers, base):
+    """Dense-grid staging on the device: remap to OCCUPIED layers (empty
+    layers would only pad the grid), block the layer axes at MULGRID_LBLOCK,
+    dispatch every block now, fetch in finalize."""
+    LB_all = B.n_layers
+    Bmod = pk.prm.B
+    sA, wA = _agg_slots(A, Bmod)
+    sB, wB = _agg_slots(B, Bmod)
+    occA = np.unique(sA // (2 * Bmod)).astype(np.int64)
+    occB = np.unique(sB // (2 * Bmod)).astype(np.int64)
+    # slot remapped to occupied-layer rank
+    rA = np.searchsorted(occA, sA // (2 * Bmod))
+    rB = np.searchsorted(occB, sB // (2 * Bmod))
+    relA = rA * 2 * Bmod + sA % (2 * Bmod)
+    relB = rB * 2 * Bmod + sB % (2 * Bmod)
+
+    LBLK = MULGRID_LBLOCK
+    blocks = []
+    for a0 in range(0, len(occA), LBLK):
+        a1 = min(len(occA), a0 + LBLK)
+        mA = (rA >= a0) & (rA < a1)
+        bsA = (relA[mA] - a0 * 2 * Bmod).astype(np.int32)
+        bwA = wA[mA]
+        for b0 in range(0, len(occB), LBLK):
+            b1 = min(len(occB), b0 + LBLK)
+            mB = (rB >= b0) & (rB < b1)
+            fin = engine.mulgrid.start(
+                bsA, bwA, a1 - a0,
+                (relB[mB] - b0 * 2 * Bmod).astype(np.int32), wB[mB], b1 - b0,
+            )
+            blocks.append((a0, b0, fin))
+
+    def finalize():
+        lids, idxs, chs, ws = [], [], [], []
+        for a0, b0, fin in blocks:
+            ow, nzm = fin()
+            la, lb, c, s = np.nonzero(nzm)
+            lids.append(
+                (base + occA[a0 + la] * LB_all + occB[b0 + lb]).astype(np.int32)
+            )
+            idxs.append(c.astype(np.int32))
+            chs.append(s.astype(np.int8))  # axis order [SGN_P, SGN_M]
+            ws.append(ow[la, lb, c, s])
+        out_lid = np.concatenate(lids)
+        out_idx = np.concatenate(idxs)
+        out_ch = np.concatenate(chs)
+        out_w = np.concatenate(ws)
+        return _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w)
+
+    return finalize
+
+
+def _ct_mul_stage_host(pk: PubKey, layers, base, A: Cipher, B: Cipher) -> dict:
+    """Host cross-product aggregation (small products)."""
+    LA, LB = A.n_layers, B.n_layers
     nA, nB = A.n_edges, B.n_edges
     Bmod = pk.prm.B
 
@@ -181,31 +310,15 @@ def _ct_mul_stage(pk: PubKey, A: Cipher, B: Cipher) -> dict:
 
     red = native.reduce_u64_limbs(acc)
     if red is None:
-        red = FV.from_ints([
-            (int(acc[b, 0]) + (int(acc[b, 1]) << 32)
-             + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)) % F.P
-            for b in range(len(uniq))
-        ]) if len(uniq) else np.zeros((0, 4), dtype=U32)
+        red = (FV.canon_u64_limbs(acc) if len(uniq)
+               else np.zeros((0, 4), dtype=U32))
     nz = red.any(axis=1)
     ks = uniq[nz]
     out_lid = (base + (ks // 2) // Bmod).astype(np.int32)
     out_idx = ((ks // 2) % Bmod).astype(np.int32)
     out_ch = np.where((ks & 1) == 0, SGN_P, SGN_M).astype(np.int8)
     out_w = red[nz]
-
-    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
-    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
-    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
-    return {
-        "layers": layers,
-        "out_lid": out_lid,
-        "out_idx": out_idx,
-        "out_ch": out_ch,
-        "out_w": out_w,
-        "zt": lz[out_lid],
-        "nlo": ll[out_lid],
-        "nhi": lh[out_lid],
-    }
+    return _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w)
 
 
 def ct_mul(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:

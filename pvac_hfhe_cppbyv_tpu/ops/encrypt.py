@@ -100,31 +100,16 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
     from .. import native
 
     red = native.reduce_u64_limbs(acc)
-    if red is not None:
-        wsums = FV.to_ints(red)
-    else:
-        wsums = [
-            (int(acc[b, 0]) + (int(acc[b, 1]) << 32)
-             + (int(acc[b, 2]) << 64) + (int(acc[b, 3]) << 96)) % F.P
-            for b in range(nb)
-        ]
-    new_lid, new_idx, new_ch, new_w, new_sig = [], [], [], [], []
-    for b in range(nb):
-        k = int(uniq[b])
-        wsum = wsums[b]
-        if wsum == 0 and not sig[b].any():
-            continue
-        new_lid.append(k // (2 * B))
-        new_idx.append((k // 2) % B)
-        new_ch.append(k & 1)
-        new_w.append(wsum)
-        new_sig.append(sig[b])
-    C.layer_id = np.asarray(new_lid, dtype=np.int32)
-    C.idx = np.asarray(new_idx, dtype=np.int32)
-    C.ch = np.asarray(new_ch, dtype=np.int8)
-    C.w = FV.from_ints(new_w) if new_w else np.zeros((0, 4), dtype=U32)
-    C.sigma = (np.stack(new_sig) if new_sig
-               else np.zeros((0, C.sigma.shape[1]), dtype=U32))
+    if red is None:
+        red = FV.canon_u64_limbs(acc)
+    # drop buckets whose weight sum AND σ are both zero (encrypt.hpp:60-63)
+    keep = red.any(axis=1) | sig.any(axis=1)
+    k = uniq[keep]
+    C.layer_id = (k // (2 * B)).astype(np.int32)
+    C.idx = ((k // 2) % B).astype(np.int32)
+    C.ch = (k & 1).astype(np.int8)
+    C.w = red[keep]
+    C.sigma = sig[keep]
 
 
 def compact_layers(C: Cipher) -> None:

@@ -116,6 +116,16 @@ class DeviceEngine:
         )
         self._prf_fn_cache = {}
         self._sigma_fn_cache = {}
+        self._mulgrid = None
+
+    @property
+    def mulgrid(self):
+        """Dense-grid ct_mul program cache (parallel/mulgrid.py), lazy."""
+        if self._mulgrid is None:
+            from .mulgrid import MulGrid
+
+            self._mulgrid = MulGrid(self.prm, self.device)
+        return self._mulgrid
 
     # ------------------------------------------------------------------
     # prf_R cores
