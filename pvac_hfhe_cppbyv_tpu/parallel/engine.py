@@ -17,6 +17,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import hash as H
 from ..crypto import aesv, lpn, shactr
@@ -80,10 +81,25 @@ class DeviceEngine:
     """
 
     def __init__(self, pk: PubKey, sk: SecKey | None = None, device=None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, mesh: Mesh | None = None):
         self.pk = pk
         self.prm = pk.prm
-        self.device = device or jax.devices()[0]
+        # Multi-chip mode: any mesh's devices are flattened into a 1-D "dp"
+        # axis — every engine program is lane-/edge-parallel with zero
+        # cross-lane dependencies, so GSPMD shards the batch axis over all
+        # chips with no collectives.  Key material (H, LPN secret, layer
+        # seed tables) is replicated.
+        if mesh is not None:
+            devs = np.asarray(mesh.devices).reshape(-1)
+            self.mesh = Mesh(devs, axis_names=("dp",))
+            self.n_dev = devs.size
+            self.device = devs[0]
+            self._repl = NamedSharding(self.mesh, P())
+            self._dp = lambda *rest: NamedSharding(self.mesh, P("dp", *rest))
+        else:
+            self.mesh = None
+            self.n_dev = 1
+            self.device = device or jax.devices()[0]
         import os
 
         if use_pallas is None:
@@ -98,25 +114,53 @@ class DeviceEngine:
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
         self.H_dev = (
-            jax.device_put(pk.H, self.device) if pk.H is not None else None
+            self._put_repl(pk.H) if pk.H is not None else None
         )
         # H with an extra all-zero row: masked σ gathers index it freely
         self.Hx_dev = (
-            jax.device_put(
+            self._put_repl(
                 np.concatenate(
                     [pk.H, np.zeros((1, pk.H.shape[1]), dtype=pk.H.dtype)]
-                ),
-                self.device,
+                )
             )
             if pk.H is not None else None
         )
         self.s32_dev = (
-            jax.device_put(sk.s_words32().reshape(-1), self.device)
+            self._put_repl(sk.s_words32().reshape(-1))
             if sk is not None else None
         )
         self._prf_fn_cache = {}
         self._sigma_fn_cache = {}
         self._mulgrid = None
+
+    # ------------------------------------------------------------------
+    # placement helpers (single-device vs dp mesh)
+    # ------------------------------------------------------------------
+
+    def _put_repl(self, arr):
+        """Device-put with full replication (mesh) / plain put (1 device)."""
+        if self.mesh is not None:
+            return jax.device_put(arr, self._repl)
+        return jax.device_put(arr, self.device)
+
+    def _jit(self, fn, in_specs=None, out_specs=None):
+        """jit pinned to the engine's device, or GSPMD-sharded over the dp
+        mesh when one is attached (in/out_specs are PartitionSpecs)."""
+        if self.mesh is None:
+            return jax.jit(fn, device=self.device)
+
+        def ns(sp):
+            # PartitionSpec subclasses tuple — check it before containers
+            if isinstance(sp, P):
+                return NamedSharding(self.mesh, sp)
+            return tuple(ns(s) for s in sp)
+
+        return jax.jit(fn, in_shardings=ns(in_specs), out_shardings=ns(out_specs))
+
+    def _pad_lanes(self, n: int) -> int:
+        """Lane padding: pow2, and in mesh mode a multiple of 32*n_dev so
+        the lane-packed [1920, n/32] AES mask layout splits evenly."""
+        return _pad_pow2(n, lo=32 * _pad_pow2(self.n_dev, 1))
 
     @property
     def mulgrid(self):
@@ -135,7 +179,13 @@ class DeviceEngine:
         fn = self._prf_fn_cache.get(n_pad)
         if fn is not None:
             return fn
-        fn = jax.jit(prf_program(self.prm, n_pad, self.use_pallas), device=self.device)
+        fn = self._jit(
+            prf_program(self.prm, n_pad, self.use_pallas),
+            # rk [1920, n/32] lane-packs 32 lanes per column: dp on axis 1
+            in_specs=(P(None, "dp"), P("dp"), P("dp"),
+                      P(None, "dp"), P("dp"), P("dp"), P()),
+            out_specs=(P("dp", None), P("dp")),
+        )
         self._prf_fn_cache[n_pad] = fn
         return fn
 
@@ -152,7 +202,7 @@ class DeviceEngine:
         it needs the values.
         """
         N = keys.shape[0]
-        C = self.PRF_CHUNK
+        C = self.PRF_CHUNK * self.n_dev
         if N > C:
             rs, rejs = [], []
             for off in range(0, N, C):
@@ -174,7 +224,7 @@ class DeviceEngine:
     def _prf_chunk(self, keys, nonces, toep_keys, toep_nonces):
         """One padded chunk -> device-resident (limbs, rej); no host sync."""
         N = keys.shape[0]
-        n_pad = _pad_pow2(N)
+        n_pad = self._pad_lanes(N)
 
         def prep(kb, nn):
             kb_p = np.zeros((n_pad, 32), dtype=np.uint8)
@@ -208,7 +258,11 @@ class DeviceEngine:
         def run(Hx, lanes):
             return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw)
 
-        fn = jax.jit(run, device=self.device)
+        fn = self._jit(
+            run,
+            in_specs=(P(None, None), P("dp", None, None)),
+            out_specs=(P("dp", None), P("dp")),
+        )
         self._sigma_fn_cache[n_pad] = fn
         return fn
 
@@ -281,7 +335,11 @@ class DeviceEngine:
             )  # [E, 7, 2]
             return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw)
 
-        fn = jax.jit(run, device=self.device)
+        fn = self._jit(
+            run,
+            in_specs=(P(None, None), P(None, None, None), P("dp", None)),
+            out_specs=(P("dp", None), P("dp")),
+        )
         self._sigma_fn_cache[key] = fn
         return fn
 
@@ -297,7 +355,7 @@ class DeviceEngine:
         fallback flags come back in a single fetch at the end.
         """
         E = words.shape[0]
-        C = self.SIGMA_CHUNK
+        C = self.SIGMA_CHUNK * self.n_dev
         if E == 0:
             mw = self.prm.sigma_words32
             return np.zeros((0, mw), dtype=U32), np.zeros(0, dtype=bool)
@@ -327,7 +385,7 @@ class DeviceEngine:
                     u_pad *= 8
                 ltab_p = np.zeros((u_pad, 3, 2), dtype=U32)
                 ltab_p[: ltab.shape[0]] = ltab
-                ltab_dev = jax.device_put(jnp.asarray(ltab_p), self.device)
+                ltab_dev = self._put_repl(jnp.asarray(ltab_p))
                 buf = np.empty((E, 3), dtype=U32)
                 buf[:, 0] = (
                     (lid.astype(np.uint32) << U32(11))
@@ -358,7 +416,7 @@ class DeviceEngine:
 
     def _sigma_compact_padded(self, ltab_dev, u_pad: int, buf: np.ndarray):
         E = buf.shape[0]
-        n_pad = _pad_pow2(E)
+        n_pad = self._pad_lanes(E)
         bp = buf
         if n_pad != E:
             bp = np.zeros((n_pad, 3), dtype=U32)
@@ -378,7 +436,7 @@ class DeviceEngine:
         avoid the device->host transfer entirely.
         """
         E = words.shape[0]
-        n_pad = _pad_pow2(E)
+        n_pad = self._pad_lanes(E)
         wp = np.zeros((n_pad, 7), dtype=np.uint64)
         wp[:E] = words
         lanes = np.stack(
@@ -391,9 +449,13 @@ class DeviceEngine:
 
 
 def enable_device(pk: PubKey, sk: SecKey | None = None, device=None,
-                  use_pallas: bool | None = None) -> DeviceEngine:
-    """Attach a DeviceEngine to pk; ops route hot kernels through it."""
-    eng = DeviceEngine(pk, sk, device, use_pallas=use_pallas)
+                  use_pallas: bool | None = None,
+                  mesh: Mesh | None = None) -> DeviceEngine:
+    """Attach a DeviceEngine to pk; ops route hot kernels through it.
+
+    Pass ``mesh`` to run every engine program sharded over the mesh's
+    devices (data-parallel over lanes/edges, key material replicated)."""
+    eng = DeviceEngine(pk, sk, device, use_pallas=use_pallas, mesh=mesh)
     pk._engine = eng
     return eng
 

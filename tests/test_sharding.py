@@ -80,3 +80,90 @@ def test_multichip_step_various_mesh_shapes(tiny_prm):
     # shapes only across meshes, plus determinism within a mesh
     for r in res:
         assert r.shape == (tiny_prm.B, 4)
+
+
+# ---------------------------------------------------------------------------
+# Real ops sharded over the mesh (dp engine mode)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh_keys():
+    import pvac_hfhe_cppbyv_tpu as pvac
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import (
+        disable_device, enable_device,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    pk, sk = pvac.keygen(pvac.small_test_params())
+    mesh = make_mesh(jax.devices()[:8])
+    eng = enable_device(pk, sk, mesh=mesh)
+    eng.use_pallas_sha = False
+    yield pk, sk, eng
+    disable_device(pk)
+
+
+def test_mesh_engine_sigma_bitexact(mesh_keys):
+    """σ from the 8-device GSPMD engine == host-path σ, bit for bit."""
+    from pvac_hfhe_cppbyv_tpu.crypto import matrix
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import disable_device
+
+    pk, sk, eng = mesh_keys
+    E = 37
+    rng = np.random.default_rng(11)
+    zt = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    nlo = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    nhi = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    idx = rng.integers(0, pk.prm.B, E, dtype=np.uint64)
+    ch = rng.integers(0, 2, E, dtype=np.uint64)
+    salt = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    sig_mesh = np.asarray(matrix.sigma_words(pk, zt, nlo, nhi, idx, ch, salt))
+    disable_device(pk)
+    try:
+        sig_host = matrix.sigma_words(pk, zt, nlo, nhi, idx, ch, salt)
+    finally:
+        pk._engine = eng
+    np.testing.assert_array_equal(sig_mesh, sig_host)
+
+
+def test_mesh_engine_prf_bitexact(mesh_keys):
+    """prf_R cores from the mesh engine == host numpy path, bit for bit."""
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import disable_device
+
+    pk, sk, eng = mesh_keys
+    N = 23
+    rng = np.random.default_rng(13)
+    seeds = rng.integers(0, 1 << 62, size=(N, 3), dtype=np.uint64)
+    dh = np.array(
+        [lpn.DOM_HASH[d] for d in ([
+            "pvac.prf.r.1", "pvac.prf.r.2", "pvac.prf.r.3"] * N)][:N],
+        dtype=np.uint64,
+    )
+    r_mesh = lpn.prf_cores_batch(pk, sk, seeds, dh)
+    disable_device(pk)
+    try:
+        r_host = lpn.prf_cores_batch(pk, sk, seeds, dh)
+    finally:
+        pk._engine = eng
+    np.testing.assert_array_equal(np.asarray(r_mesh), np.asarray(r_host))
+
+
+def test_mesh_engine_real_ops_roundtrip(mesh_keys):
+    """enc -> mul -> add -> dec with every hot kernel sharded over the
+    8-device mesh; decrypts must be exact, and the host path must decrypt
+    the SAME ciphertexts to the same values (bit-level interop)."""
+    import pvac_hfhe_cppbyv_tpu as pvac
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import disable_device
+
+    pk, sk, eng = mesh_keys
+    cts = pvac.enc_value_batch(pk, sk, [5, 7, 123])
+    prod = pvac.ct_mul(pk, cts[0], cts[1])
+    s = pvac.ct_add(pk, prod, cts[2])
+    vals = pvac.dec_value_batch(pk, sk, cts + [prod, s])
+    assert vals == [5, 7, 123, 35, 158]
+    disable_device(pk)
+    try:
+        vals_host = pvac.dec_value_batch(pk, sk, cts + [prod, s])
+    finally:
+        pk._engine = eng
+    assert vals_host == vals
