@@ -88,6 +88,7 @@ def test_homomorphic_ops_on_golden_small(golden_small):
 def refdec():
     path = REPO / "build" / "refdec"
     if not path.exists():
+        path.parent.mkdir(parents=True, exist_ok=True)
         src = REPO / "tools" / "refharness" / "refdec.cpp"
         try:
             subprocess.run(
