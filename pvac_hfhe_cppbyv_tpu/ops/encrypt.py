@@ -270,8 +270,9 @@ def _draw_structure(pk: PubKey, plan: _LayerPlan) -> None:
 
 
 def _weights_from_cores(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[int]:
-    """Given the layer's resolved PRF cores (request order), compute the
-    merged-edge weights for the drawn structure (encrypt.hpp:162-252)."""
+    """Scalar reference for _weights_from_cores_batch (kept as the test
+    oracle): given one layer's resolved PRF cores (request order), compute
+    the merged-edge weights for the drawn structure (encrypt.hpp:162-252)."""
     R = F.fp_mul(F.fp_mul(cores[0], cores[1]), cores[2])
     deltas = []
     for i in range(3, len(cores), 3):
@@ -338,6 +339,125 @@ def _weights_from_cores(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[
     return merged
 
 
+def _weights_from_cores_batch(pk: PubKey, plans: list[_LayerPlan],
+                              cores: np.ndarray,
+                              spans: list[tuple[int, int]]) -> list[np.ndarray]:
+    """Vectorized _weights_from_cores over a whole plan batch.
+
+    cores is the [N_req, 4]-limb PRF result array (request order matching
+    spans); returns one [n_merged, 4] uint32 weight array per plan.  All
+    field math runs as fieldv limb vectors; the per-group fp_inv calls of
+    the scalar path become powg table lookups, since g has order B:
+    inv(g^i) = g^((B-i) mod B).  Plans are grouped by (z2, z3) — each group
+    vectorizes as one [G, E, 4] computation."""
+    cores = np.asarray(cores, dtype=U32)
+    Bmod = pk.prm.B
+    gp = pk.powg_limbs()  # [B, 4]
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for t, p in enumerate(plans):
+        groups.setdefault((p.z2, p.z3), []).append(t)
+
+    out: list[np.ndarray | None] = [None] * len(plans)
+    for (z2, z3), ids in groups.items():
+        G = len(ids)
+        total = z2 + z3
+        nd = max(0, total - 1)
+        n_req = 3 + 3 * nd
+        offs = np.asarray([spans[t][0] for t in ids], dtype=np.int64)
+        cg = cores[offs[:, None] + np.arange(n_req)]  # [G, n_req, 4]
+        R = FV.mul(FV.mul(cg[:, 0], cg[:, 1]), cg[:, 2])  # [G, 4]
+        if nd:
+            dd = cg[:, 3:].reshape(G, nd, 3, 4)
+            deltas = FV.mul(FV.mul(dd[:, :, 0], dd[:, :, 1]), dd[:, :, 2])
+
+        # ---- value edges (8 per layer) ----
+        S = 8
+        idxs = np.asarray([plans[t].vstruct[0] for t in ids], dtype=np.int64)
+        chs = np.asarray([plans[t].vstruct[1] for t in ids], dtype=np.int64)
+        rs_free = FV.from_ints(
+            [r for t in ids for r in plans[t].vstruct[2]]
+        ).reshape(G, S - 1, 4)
+        values = FV.from_ints([plans[t].value for t in ids])  # [G, 4]
+
+        terms = FV.mul(rs_free, gp[idxs[:, : S - 1]])
+        signed = FV.select(chs[:, : S - 1] == SGN_P, terms, FV.neg(terms))
+        sumg = signed[:, 0]
+        for j in range(1, S - 1):
+            sumg = FV.add(sumg, signed[:, j])
+        r_last = FV.mul(FV.sub(values, sumg), gp[(Bmod - idxs[:, S - 1]) % Bmod])
+        r_last = FV.select(chs[:, S - 1] == SGN_P, r_last, FV.neg(r_last))
+        parts = [np.concatenate([rs_free, r_last[:, None]], axis=1)]
+
+        # ---- per-group noise deltas: groups 0..total-2 consume deltas in
+        # order; the last group closes the telescope with -(sum of them) ----
+        if total:
+            if nd:
+                acc = deltas[:, 0]
+                for g in range(1, nd):
+                    acc = FV.add(acc, deltas[:, g])
+                Delta = np.concatenate(
+                    [deltas, FV.neg(acc)[:, None]], axis=1
+                )  # [G, total, 4]
+            else:  # total == 1 can't occur (plan_noise bumps it), guard anyway
+                Delta = np.zeros((G, 1, 4), dtype=U32)
+
+        if z2:
+            z2g = [plans[t].z2g for t in ids]
+            I2 = np.asarray([[g[0] for g in row] for row in z2g], dtype=np.int64)
+            J2 = np.asarray([[g[1] for g in row] for row in z2g], dtype=np.int64)
+            S1 = np.asarray([[g[2] for g in row] for row in z2g], dtype=np.int64)
+            ri = FV.from_ints(
+                [g[4] for row in z2g for g in row]
+            ).reshape(G, z2, 4)
+            D2 = Delta[:, :z2]
+            Dp = FV.select(S1 == SGN_P, D2, FV.neg(D2))
+            rj = FV.mul(FV.sub(FV.mul(ri, gp[I2]), Dp), gp[(Bmod - J2) % Bmod])
+            parts.append(
+                np.stack([ri, rj], axis=2).reshape(G, 2 * z2, 4)
+            )
+
+        if z3:
+            z3g = [plans[t].z3g for t in ids]
+            I3 = np.asarray([[g[0] for g in row] for row in z3g], dtype=np.int64)
+            J3 = np.asarray([[g[1] for g in row] for row in z3g], dtype=np.int64)
+            K3 = np.asarray([[g[2] for g in row] for row in z3g], dtype=np.int64)
+            s1 = np.asarray([[g[3] for g in row] for row in z3g], dtype=np.int64)
+            s2 = np.asarray([[g[4] for g in row] for row in z3g], dtype=np.int64)
+            s3 = np.asarray([[g[5] for g in row] for row in z3g], dtype=np.int64)
+            a3 = FV.from_ints([g[6] for row in z3g for g in row]).reshape(G, z3, 4)
+            b3 = FV.from_ints([g[7] for row in z3g for g in row]).reshape(G, z3, 4)
+            t1 = FV.mul(a3, gp[I3])
+            t1 = FV.select(s1 == SGN_P, t1, FV.neg(t1))
+            t2 = FV.mul(b3, gp[J3])
+            t2 = FV.select(s2 == SGN_P, t2, FV.neg(t2))
+            c3 = FV.mul(
+                FV.sub(Delta[:, z2:], FV.add(t1, t2)), gp[(Bmod - K3) % Bmod]
+            )
+            c3 = FV.select(s3 == SGN_P, c3, FV.neg(c3))
+            parts.append(np.stack([a3, b3, c3], axis=2).reshape(G, 3 * z3, 4))
+
+        ws = FV.mul(np.concatenate(parts, axis=1), R[:, None])  # [G, E, 4]
+        E = ws.shape[1]
+
+        # ---- ragged merge by each plan's (idx, ch)-duplicate groups ----
+        counts = [len(plans[t].skel_idx) for t in ids]
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        glob_inv = np.concatenate(
+            [plans[t].skel_inv + starts[s] for s, t in enumerate(ids)]
+        )
+        acc = np.zeros((int(starts[-1]), 4), dtype=np.uint64)
+        np.add.at(acc, glob_inv, ws.reshape(G * E, 4).astype(np.uint64))
+        from .. import native
+
+        red = native.reduce_u64_limbs(acc)
+        if red is None:
+            red = FV.canon_u64_limbs(acc)
+        for s, t in enumerate(ids):
+            out[t] = red[starts[s] : starts[s + 1]]
+    return out
+
+
 def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
     """Dispatch one σ batch covering every (merged) skeleton edge of every
     planned layer.  Returns finalize() -> (sig_all, offsets); sig_all stays
@@ -367,17 +487,17 @@ def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
     return finalize
 
 
-def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, weights: list[int],
+def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, weights: np.ndarray,
                             sig) -> Cipher:
     """Assemble one single-BASE-layer Cipher from a drawn structure, its
-    merged weights and its pre-generated σ rows."""
+    merged [n, 4]-limb weights and its pre-generated σ rows."""
     n = len(plan.skel_idx)
     return Cipher(
         [Layer(rule=RRULE_BASE, seed=plan.seed)],
         np.zeros(n, dtype=np.int32),
         plan.skel_idx,
         plan.skel_ch,
-        FV.from_ints(weights),
+        np.asarray(weights, dtype=U32),
         sig,
     )
 
@@ -426,11 +546,8 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     for p in plans:
         _draw_structure(pk, p)
     sig_fin = _sigma_for_plans_start(pk, plans)
-    cores = FV.to_ints(prf_fin())
-    weights = [
-        _weights_from_cores(pk, p, cores[off : off + n])
-        for p, (off, n) in zip(plans, spans)
-    ]
+    cores = np.asarray(prf_fin(), dtype=U32)
+    weights = _weights_from_cores_batch(pk, plans, cores, spans)
     sig_all, offsets = sig_fin()
     if isinstance(sig_all, np.ndarray):
         views = [sig_all[offsets[i] : offsets[i + 1]] for i in range(len(plans))]

@@ -164,11 +164,16 @@ class DeviceEngine:
 
     @property
     def mulgrid(self):
-        """Dense-grid ct_mul program cache (parallel/mulgrid.py), lazy."""
+        """Dense-grid ct_mul program cache (parallel/mulgrid.py), lazy.
+
+        In mesh mode the grid's independent layer blocks round-robin over
+        every mesh device (block outputs are disjoint — no collectives)."""
         if self._mulgrid is None:
             from .mulgrid import MulGrid
 
-            self._mulgrid = MulGrid(self.prm, self.device)
+            devs = (list(np.asarray(self.mesh.devices).reshape(-1))
+                    if self.mesh is not None else [self.device])
+            self._mulgrid = MulGrid(self.prm, devs)
         return self._mulgrid
 
     # ------------------------------------------------------------------

@@ -154,19 +154,28 @@ def _pad_mult(n: int, m: int) -> int:
 
 
 class MulGrid:
-    """Per-engine cache of compiled dense-grid ct_mul programs."""
+    """Per-engine cache of compiled dense-grid ct_mul programs.
 
-    def __init__(self, prm, device):
+    ``devices`` may be a list: successive dispatches round-robin over it, so
+    the independent layer blocks of one big product (and the products of a
+    batch) run on all mesh devices concurrently with zero collectives —
+    each block's output is fetched straight from the device that computed
+    it."""
+
+    def __init__(self, prm, devices):
         self.Bmod = prm.B
-        self.device = device
+        if not isinstance(devices, (list, tuple)):
+            devices = [devices]
+        self.devices = list(devices)
+        self._rr = 0
         self._cache = {}
 
-    def _fn(self, LAp, LBp, nAp, nBp):
-        key = (LAp, LBp, nAp, nBp)
+    def _fn(self, LAp, LBp, nAp, nBp, dev):
+        key = (LAp, LBp, nAp, nBp, dev)
         fn = self._cache.get(key)
         if fn is None:
             fn = build_mul_grid_fn(self.Bmod, LAp, LBp, nAp, nBp,
-                                   device=self.device)
+                                   device=dev)
             self._cache[key] = fn
         return fn
 
@@ -189,9 +198,11 @@ class MulGrid:
             ww[: len(slots)] = w
             return s, ww
 
+        dev = self.devices[self._rr % len(self.devices)]
+        self._rr += 1
         sA, wAp = pad(slotsA, wA, nAp, LAp)
         sB, wBp = pad(slotsB, wB, nBp, LBp)
-        out = self._fn(LAp, LBp, nAp, nBp)(sA, wAp, sB, wBp)
+        out = self._fn(LAp, LBp, nAp, nBp, dev)(sA, wAp, sB, wBp)
 
         def finalize():
             ow, nz = out

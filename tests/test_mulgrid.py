@@ -115,3 +115,43 @@ def test_mulgrid_ct_mul_integration(small_keys, monkeypatch):
             np.testing.assert_array_equal(gb, gr)
     finally:
         disable_device(pk)
+
+
+def test_mulgrid_mesh_blocks_use_all_devices(small_keys, monkeypatch):
+    """In dp-mesh mode the grid's layer blocks round-robin over every mesh
+    device and the blocked product stays bit-identical to the host path."""
+    from jax.sharding import Mesh
+
+    pk, sk = small_keys
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "conftest provides 8 virtual cpu devices"
+    eng = enable_device(pk, sk, mesh=Mesh(np.array(devs), ("dp",)),
+                        use_pallas=False)
+    eng.use_pallas_sha = False
+    try:
+        a, b = 31337, 271828
+        ca, cb = pvac.enc_value_batch(pk, sk, [a, b])
+        monkeypatch.setattr(ar, "MULGRID_PAIR_THRESHOLD", 1)
+        prod = pvac.ct_mul(pk, ca, cb)
+
+        # prod has 4 occupied PROD layers; 2x2 blocking -> 4 block dispatches
+        monkeypatch.setattr(ar, "MULGRID_LBLOCK", 2)
+        rr0 = eng.mulgrid._rr
+        s_blk = ar._ct_mul_stage_start(pk, prod, prod)()
+        n_blocks = eng.mulgrid._rr - rr0
+        assert n_blocks >= 4  # blocks really round-robin over the mesh
+        assert len({d for (_, _, _, _, d) in eng.mulgrid._cache}) >= 4
+
+        monkeypatch.setattr(ar, "MULGRID_PAIR_THRESHOLD", 1 << 62)
+        s_ref = ar._ct_mul_stage_start(pk, prod, prod)()
+
+        def canon_order(s):
+            key = np.lexsort((s["out_ch"], s["out_idx"], s["out_lid"]))
+            return (s["out_lid"][key], s["out_idx"][key], s["out_ch"][key],
+                    s["out_w"][key])
+
+        for gb, gr in zip(canon_order(s_blk), canon_order(s_ref)):
+            np.testing.assert_array_equal(gb, gr)
+        assert pvac.dec_value(pk, sk, prod) == a * b % pvac.P
+    finally:
+        disable_device(pk)
