@@ -2,10 +2,14 @@
 """Depth stress sweep (mirror of reference tests/test_depth.cpp:25-74).
 
 Repeated squaring c <- c*c at default Params, recording edges/layers/σ
-density and mul/dec wall times per step.  Step 3 produces a ~4.3M-edge
-ciphertext (80x80 layer grid) — the scale where the host O(|A|*|B|) pair loop
-is infeasible and the device dense-grid path (parallel/mulgrid.py) carries
-the cross product.
+density and mul/dec wall times per step.
+
+Reference comparison (measured on this machine, g++ -O2 -march=native):
+step 1 mul 105 ms, step 2 mul 1.28 s, step 3 mul 58.25 s — and at step 4
+the reference ABORTS with std::bad_alloc under a 60 GB cap (44M edges x
+~1KB of eager σ each).  This framework crosses step 4 via the device
+dense-grid cross product (parallel/mulgrid.py) plus recipe-backed virtual
+σ (types.VirtualSigma, ~12 B/edge until something reads the bits).
 
 Usage: python benchmarks/depth_sweep.py [max_steps] [--csv out.csv]
 """
@@ -14,6 +18,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pvac_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -35,7 +41,7 @@ def main():
     from pvac_hfhe_cppbyv_tpu.ops.encrypt import sigma_density
     from pvac_hfhe_cppbyv_tpu.parallel.engine import enable_device
 
-    max_steps = 3
+    max_steps = 4
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if args:
         max_steps = int(args[0])
@@ -64,16 +70,20 @@ def main():
         got = pvac.dec_value(pk, sk, c)
         dec_s = time.time() - t0
         ok = got == expected
+        from pvac_hfhe_cppbyv_tpu.types import VirtualSigma
+
+        smode = "virtual" if isinstance(c.sigma, VirtualSigma) else "eager"
         dens = sigma_density(pk, c) if c.n_edges <= 200_000 else -1.0
         log(f"step={step} edges={c.n_edges} layers={c.n_layers} "
-            f"dens={dens:.4f} mul={mul_s:.2f}s dec={dec_s:.2f}s "
+            f"dens={dens:.4f} sigma={smode} mul={mul_s:.2f}s dec={dec_s:.2f}s "
             f"{'ok' if ok else 'FAIL'}")
-        rows.append((step, c.n_edges, c.n_layers, dens, mul_s, dec_s, int(ok)))
+        rows.append((step, c.n_edges, c.n_layers, dens, smode, mul_s, dec_s,
+                     int(ok)))
         assert ok, f"depth-{step} decrypt mismatch"
 
     if csv_path:
         with open(csv_path, "w") as f:
-            f.write("step,edges,layers,density,mul_s,dec_s,ok\n")
+            f.write("step,edges,layers,density,sigma,mul_s,dec_s,ok\n")
             for r in rows:
                 f.write(",".join(str(x) for x in r) + "\n")
         log(f"wrote {csv_path}")

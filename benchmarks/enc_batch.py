@@ -81,6 +81,25 @@ def main():
     assert pvac.dec_value(pk, sk, acc) == 0 + 1 + 2 + 3
     print("add-chain decrypt ok")
 
+    if args.n >= 4096 and not args.small:
+        import json
+        import os
+
+        path = pathlib.Path(__file__).resolve().parent.parent / "docs" / \
+            f"enc_batch_{args.n}.json"
+        path.write_text(json.dumps({
+            "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "device": str(jax.devices()[0]),
+            "n": args.n,
+            "chunk": args.chunk,
+            "host_only": args.host_only,
+            "elapsed_s": round(el, 1),
+            "ct_per_s": round(args.n / el, 1),
+            "prf_cores_per_s": round(cores / el),
+            "aes_blocks_per_s": round(blocks / el),
+        }, indent=1))
+        print(f"wrote {path}")
+
 
 if __name__ == "__main__":
     main()

@@ -59,16 +59,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench(fn, *args, reps=5, warm=2):
-    for _ in range(warm):
-        jax.block_until_ready(fn(*args))
+def _fetch_one(out):
+    """Force materialization: on the axon tunnel, block_until_ready alone
+    under-reports; fetching one element is the reliable sync."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = tuple(0 for _ in range(getattr(leaf, "ndim", 0)))
+    np.asarray(jax.device_get(leaf[idx] if idx else leaf))
+
+
+_LINK_RT = [0.0]
+
+
+def measure_link_rt(dev):
+    x = jax.device_put(jnp.arange(8, dtype=jnp.uint32), dev)
+    f = jax.jit(lambda v: v + 1)
+    _fetch_one(f(x))
     ts = []
-    for _ in range(reps):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fetch_one(f(x))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return ts[len(ts) // 2]
+    _LINK_RT[0] = ts[len(ts) // 2]
+    return _LINK_RT[0]
+
+
+def bench(fn, *args, reps=20, warm=2):
+    """Per-call seconds: dispatch reps calls back-to-back (device executes
+    in order), fetch one element of the last output, subtract the link
+    round-trip, divide by reps."""
+    out = None
+    for _ in range(warm):
+        out = fn(*args)
+    _fetch_one(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _fetch_one(out)
+    el = time.perf_counter() - t0 - _LINK_RT[0]
+    return max(el, 1e-9) / reps
 
 
 def cost(fn, *args):
@@ -105,6 +134,8 @@ def row(name, seconds, unit, units_per_call, flops, nbytes, bound_peak,
 def main():
     dev = jax.devices()[0]
     log("device:", dev)
+    rt = measure_link_rt(dev)
+    log(f"link round-trip: {rt*1e3:.1f} ms")
     prm = pvac.Params()
     rows = []
     autotune = {}
@@ -188,9 +219,8 @@ def main():
     # ------------------------------------------------------------------
     # 3. Full prf_R core program (AES + LPN parity + Toeplitz conv127)
     # ------------------------------------------------------------------
-    s32 = rng.integers(0, 1 << 32, 2 * prm.s_words64, dtype=np.uint64).astype(
-        np.uint32
-    )
+    s32 = rng.integers(0, 1 << 32, 2 * prm.s_words64,
+                       dtype=np.uint64).astype(np.uint32)
     prog = jax.jit(prf_program(prm, N, autotune["use_pallas"]))
     trk = aesv.expand_keys_packed(keys)
     t_prf = bench(prog, rk, nlo, nhi, trk, nlo, nhi, s32)
@@ -247,6 +277,7 @@ def main():
     # ------------------------------------------------------------------
     out = {
         "device": str(dev),
+        "link_rt_ms": round(_LINK_RT[0] * 1e3, 2),
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "peaks": {"mxu_int8_ops": PEAK_MXU_INT8, "vpu_u32_ops": PEAK_VPU_U32,
                   "hbm_Bps": PEAK_HBM},

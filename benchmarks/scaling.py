@@ -121,6 +121,23 @@ def main():
     if args.out:
         pathlib.Path(args.out).write_text(table + "\n")
         print(f"wrote {args.out}")
+    # machine-readable copy for the SCALING.md generator
+    import json
+
+    art = pathlib.Path(__file__).resolve().parent.parent / "docs" / \
+        "partition_efficiency.json"
+    art.write_text(json.dumps({
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "platform": devs[0].platform,
+        "host_cores": os.cpu_count(),
+        "lanes": args.lanes,
+        "rows": [
+            {"devices": n, "per_device_flops": flops, "per_device_bytes": b,
+             "partition_eff": eff, "enc_ct_s": rate}
+            for n, flops, b, eff, rate in rows
+        ],
+    }, indent=1))
+    print(f"wrote {art}")
 
 
 if __name__ == "__main__":

@@ -132,7 +132,10 @@ def _kernel(nonce_ref, rk_ref, out_ref, *, nblocks: int, G: int):
             if bits is None:
                 pos_rows.append(jnp.zeros((G,), dtype=jnp.uint32))
             else:
-                pos_rows.append(jnp.sum(bits << sh, axis=1).astype(jnp.uint32))
+                # Mosaic has no unsigned reductions; the 32 addends set
+                # disjoint bits, so a wrapping int32 sum is the exact OR.
+                s = jnp.sum((bits << sh).astype(jnp.int32), axis=1)
+                pos_rows.append(s.astype(jnp.uint32))
         planes.append(jnp.stack(pos_rows))  # [16, G]
 
     rk = rk_ref[0]  # [15, 16, 8]

@@ -9,12 +9,14 @@ from __future__ import annotations
 
 import numpy as np
 
+import os
+
 from ..core import field as F
 from ..core import fieldv as FV
 from ..core.random import csprng_u64, csprng_u64_array
 from ..crypto import matrix
 from ..types import (
-    Cipher, Layer, LazySigma, Nonce128, PubKey, RSeed,
+    Cipher, Layer, LazySigma, Nonce128, PubKey, RSeed, VirtualSigma,
     RRULE_PROD, SGN_P, SGN_M, make_nonce128,
 )
 from .encrypt import combine_ciphers, compact_layers, guard_budget
@@ -72,6 +74,13 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         pend = [tuple(rem)] if rem[0].size else []
         pend_n = int(rem[0].shape[0])
 
+    # Products beyond this edge count keep σ VIRTUAL (recipe-backed,
+    # generated on first read) instead of eagerly generating m_bits/edge:
+    # σ is camouflage that op chains never read, and eager generation is
+    # what kills the reference's own depth test at step 4 (std::bad_alloc
+    # at 44M edges).  Bit-identical on materialization.
+    eager_max = int(os.environ.get("PVAC_SIGMA_EAGER_MAX", str(1 << 21)))
+
     # Phase 1: start all stagings.  Device-grid products (big edge sets)
     # dispatch their MXU programs here and run concurrently; host products
     # compute inline.  Phase 2 finalizes in order and feeds the σ pipeline.
@@ -80,9 +89,25 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         s = fin()
         staged.append(s)
         n = len(s["out_lid"])
-        if n:
+        if n > eager_max and len(s["layers"]) < (1 << 21):
+            ltab = np.array(
+                [[L.seed.ztag, L.seed.nonce.lo, L.seed.nonce.hi]
+                 for L in s["layers"]],
+                dtype=np.uint64,
+            )
+            packed = (
+                (s["out_lid"].astype(np.uint32) << U32(11))
+                | (s["out_idx"].astype(np.uint32) << U32(1))
+                | s["out_ch"].astype(np.uint32)
+            )
+            s["vsigma"] = VirtualSigma(
+                pk, ltab, packed, np.asarray(csprng_u64_array(n),
+                                             dtype=np.uint64)
+            )
+        elif n:
+            zt, nlo, nhi = _stage_seed_words(s)
             pend.append((
-                s["zt"], s["nlo"], s["nhi"],
+                zt, nlo, nhi,
                 s["out_idx"].astype(np.uint64),
                 s["out_ch"].astype(np.uint64),
                 csprng_u64_array(n),
@@ -93,7 +118,7 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
     if pend_n:
         _dispatch(pend_n)
 
-    counts = [len(s["out_lid"]) for s in staged]
+    counts = [0 if "vsigma" in s else len(s["out_lid"]) for s in staged]
     if sum(counts):
         parts = matrix.sigma_finalize_many([fin for fin, _ in finals])
         if any(not isinstance(p, np.ndarray) for p in parts):
@@ -106,7 +131,9 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
     off = 0
     for s, n in zip(staged, counts):
         mw = pk.prm.sigma_words32
-        if n == 0:
+        if "vsigma" in s:
+            sig = s["vsigma"]
+        elif n == 0:
             sig = np.zeros((0, mw), dtype=U32)
         elif isinstance(sig_all, np.ndarray):
             sig = sig_all[off : off + n]
@@ -176,19 +203,24 @@ def _mul_layers(pk: PubKey, A: Cipher, B: Cipher):
 
 
 def _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w):
-    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
-    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
-    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
     return {
         "layers": layers,
         "out_lid": out_lid,
         "out_idx": out_idx,
         "out_ch": out_ch,
         "out_w": out_w,
-        "zt": lz[out_lid],
-        "nlo": ll[out_lid],
-        "nhi": lh[out_lid],
     }
+
+
+def _stage_seed_words(s):
+    """Per-edge (ztag, nonce_lo, nonce_hi) for the eager σ pipeline —
+    gathered lazily so virtual-σ products never build the [E] u64 arrays."""
+    layers = s["layers"]
+    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
+    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
+    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
+    lid = s["out_lid"]
+    return lz[lid], ll[lid], lh[lid]
 
 
 def _ct_mul_stage_start(pk: PubKey, A: Cipher, B: Cipher):
@@ -214,9 +246,10 @@ def _ct_mul_stage_start(pk: PubKey, A: Cipher, B: Cipher):
 
 
 # Device-grid layer-block size: the grid program's HBM footprint grows with
-# LA*LB, so big products run as a grid of <=LBLOCK x LBLOCK layer blocks
-# (each block ~250 MB of accumulator at default B).
-MULGRID_LBLOCK = 64
+# LA*LB, so big products run as a grid of <=LBLOCK x LBLOCK layer blocks.
+# 64 OOMs a 16 GB v5e (XLA keeps several [LA*2, D7, LB*2, B] s32 dot temps
+# live across the unrolled digit loop — ~19.5 GB at 64); 32 peaks ~5 GB.
+MULGRID_LBLOCK = 32
 
 
 def _stage_device(pk: PubKey, engine, A: Cipher, B: Cipher, layers, base):

@@ -69,7 +69,11 @@ def dec_value(pk: PubKey, sk: SecKey, C: Cipher) -> int:
 
 def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
     """Batched decryption: all ciphertexts' BASE-layer PRFs run in one
-    batch, inverses in one limb kernel, edge sums as numpy segment math."""
+    batch, inverses in one limb kernel, edge sums as numpy segment math.
+
+    BASE seeds are deduplicated before the PRF batch: products of a
+    ciphertext with itself (depth chains) carry many copies of the same
+    BASE layer, and prf_R is a pure function of the seed."""
     # gather all BASE seeds
     reqs = []
     spans = []
@@ -82,9 +86,12 @@ def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
             reqs.append([s.ztag, s.nonce.lo, s.nonce.hi])
     base_vals: list[int] = []
     if reqs:
-        base_vals = FV.to_ints(
-            lpn.prf_R_batch(pk, sk, np.asarray(reqs, dtype=np.uint64))
+        uniq, inv = np.unique(
+            np.asarray(reqs, dtype=np.uint64), axis=0, return_inverse=True
         )
+        inv = inv.reshape(-1)
+        uniq_vals = FV.to_ints(lpn.prf_R_batch(pk, sk, uniq))
+        base_vals = [uniq_vals[i] for i in inv]
 
     out = []
     off = 0
@@ -128,12 +135,18 @@ def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
             out.append(0)
             continue
         powg = pk.powg_limbs()  # [B, 4]
-        terms = FV.mul(C.w, powg[C.idx])
-        terms = FV.mul(terms, Rinv[C.layer_id])
-        # signed sum: limb-wise uint64 accumulation (< 2^19 addends per
-        # limb fits easily), final reduction in Python
-        pos = C.ch == SGN_P
-        accP = terms[pos].astype(np.uint64).sum(axis=0)
-        accM = terms[~pos].astype(np.uint64).sum(axis=0)
+        # signed sum, chunked so deep-product ciphertexts (tens of millions
+        # of edges) stay within a bounded working set; per-chunk limb sums
+        # accumulate in uint64 (chunk < 2^31 addends of u32 limbs).
+        accP = np.zeros(4, dtype=np.uint64)
+        accM = np.zeros(4, dtype=np.uint64)
+        CH = 1 << 22
+        for off in range(0, C.n_edges, CH):
+            sl = slice(off, off + CH)
+            terms = FV.mul(C.w[sl], powg[C.idx[sl]])
+            terms = FV.mul(terms, Rinv[C.layer_id[sl]])
+            pos = C.ch[sl] == SGN_P
+            accP += terms[pos].astype(np.uint64).sum(axis=0, dtype=np.uint64)
+            accM += terms[~pos].astype(np.uint64).sum(axis=0, dtype=np.uint64)
         out.append(F.fp_sub(_limbs_to_int(accP), _limbs_to_int(accM)))
     return out

@@ -52,16 +52,25 @@ def sigma_density(pk: PubKey, C: Cipher) -> float:
     """Mean σ bit density (encrypt.hpp:29-37)."""
     if C.n_edges == 0:
         return 0.0
-    ones = int(BV.popcnt(np.asarray(C.sigma)).sum())
+    from ..types import VirtualSigma
+
+    if isinstance(C.sigma, VirtualSigma):
+        ones = C.sigma.popcnt_total()  # streamed, never holds full σ
+    else:
+        ones = int(BV.popcnt(np.asarray(C.sigma)).sum())
     return ones / float(C.n_edges * pk.prm.m_bits)
 
 
 def _concat_sigma(a, b):
-    """Concatenate two σ matrices, staying lazy/on-device when possible
-    (np.concatenate on a device operand would silently fetch it)."""
+    """Concatenate two σ matrices, staying lazy/virtual/on-device when
+    possible (np.concatenate on a device operand would silently fetch it)."""
+    from ..types import VirtualSigma, concat_virtual_sigma
+
     if (isinstance(a, LazySigma) and isinstance(b, LazySigma)
             and a.base is b.base):
         return LazySigma(a.base, np.concatenate([a.rows, b.rows]))
+    if isinstance(a, VirtualSigma) and isinstance(b, VirtualSigma):
+        return concat_virtual_sigma([a, b])
     return np.concatenate([np.asarray(a), np.asarray(b)])
 
 
@@ -76,7 +85,6 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
     E = C.n_edges
     if E == 0:
         return
-    C.sigma = np.asarray(C.sigma)  # materialize device-resident σ
     B = pk.prm.B
     key = (
         C.layer_id.astype(np.int64) * (2 * B)
@@ -86,6 +94,22 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
     order = np.argsort(key, kind="stable")
     skey = key[order]
     uniq, start = np.unique(skey, return_index=True)
+    from ..types import VirtualSigma
+
+    if isinstance(C.sigma, VirtualSigma) and len(uniq) == E:
+        # Every bucket is a single edge (the usual case for deep products,
+        # whose edges are aggregation outputs and already unique): the
+        # compaction is a pure reorder, so σ stays virtual.  The reference's
+        # (w == 0 and σ == 0) bucket drop (encrypt.hpp:60-63) is skipped for
+        # virtual rows — a fresh pseudorandom σ is zero with probability
+        # 2^-m_bits, so the behaviors agree outside measure-zero events.
+        C.layer_id = C.layer_id[order]
+        C.idx = C.idx[order]
+        C.ch = C.ch[order]
+        C.w = C.w[order]
+        C.sigma = C.sigma[order]
+        return
+    C.sigma = np.asarray(C.sigma)  # materialize device-resident σ
     # per-bucket field sum: limb-wise uint64 accumulation then mod p
     wl = C.w[order].astype(np.uint64)
     seg = np.zeros(E, dtype=np.int64)
@@ -113,37 +137,40 @@ def compact_edges(pk: PubKey, C: Cipher) -> None:
 
 
 def compact_layers(C: Cipher) -> None:
-    """Drop unreferenced layers, keeping PROD parents live (encrypt.hpp:73-104)."""
+    """Drop unreferenced layers, keeping PROD parents live (encrypt.hpp:73-104).
+
+    Vectorized: liveness propagates to PROD parents as array gathers (the
+    fixpoint runs once per DAG level), and the remap is one cumulative-sum
+    pass — O(L * depth) instead of the reference's O(L^2) scan, which
+    matters at deep-product scale (a depth-4 square has ~66k layers)."""
     L = C.n_layers
     if L == 0:
         return
-    used = [False] * L
-    for lid in set(C.layer_id.tolist()):
-        if lid < L:
-            used[lid] = True
-    changed = True
-    while changed:
-        changed = False
-        for lid in range(L):
-            if used[lid] and C.layers[lid].rule == RRULE_PROD:
-                for p in (C.layers[lid].pa, C.layers[lid].pb):
-                    if p < L and not used[p]:
-                        used[p] = True
-                        changed = True
-    if all(used):
+    used = np.zeros(L, dtype=bool)
+    lids = np.unique(C.layer_id)
+    used[lids[lids < L]] = True
+    rules = np.fromiter((Lr.rule for Lr in C.layers), dtype=np.int8, count=L)
+    pa = np.fromiter((Lr.pa for Lr in C.layers), dtype=np.int64, count=L)
+    pb = np.fromiter((Lr.pb for Lr in C.layers), dtype=np.int64, count=L)
+    is_prod = rules == RRULE_PROD
+    while True:
+        live_prod = used & is_prod
+        parents = np.concatenate([pa[live_prod], pb[live_prod]])
+        parents = parents[parents < L]
+        newly = ~used[parents]
+        if not newly.any():
+            break
+        used[parents[newly]] = True
+    if used.all():
         return
-    remap = {}
-    new_layers = []
-    for lid in range(L):
-        if used[lid]:
-            remap[lid] = len(new_layers)
-            new_layers.append(C.layers[lid])
+    remap = np.cumsum(used) - 1  # new id per old id (valid where used)
+    new_layers = [C.layers[i] for i in np.nonzero(used)[0]]
     for Lr in new_layers:
         if Lr.rule == RRULE_PROD:
-            Lr.pa = remap[Lr.pa]
-            Lr.pb = remap[Lr.pb]
+            Lr.pa = int(remap[Lr.pa])
+            Lr.pb = int(remap[Lr.pb])
     C.layers = new_layers
-    C.layer_id = np.asarray([remap[int(l)] for l in C.layer_id], dtype=np.int32)
+    C.layer_id = remap[C.layer_id].astype(np.int32)
 
 
 def guard_budget(pk: PubKey, C: Cipher, where: str) -> None:

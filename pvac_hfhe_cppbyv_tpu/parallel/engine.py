@@ -33,6 +33,20 @@ def _pad_pow2(n: int, lo: int = 32) -> int:
     return p
 
 
+def _load_autotune() -> dict:
+    """Measured kernel choices written by benchmarks/roofline.py."""
+    import json
+    import os
+
+    path = os.environ.get("PVAC_AUTOTUNE_FILE",
+                          "/tmp/pvac_kernel_autotune.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def prf_program(prm, n_lanes: int, use_pallas: bool = False):
     """The single-chip prf_R-core forward program (jittable, pure).
 
@@ -102,8 +116,17 @@ class DeviceEngine:
             self.device = device or jax.devices()[0]
         import os
 
+        # Kernel selection: env var > measured autotune (benchmarks/
+        # roofline.py, the reference-autotuner analogue of
+        # crypto/toeplitz.hpp:202-257) > platform heuristic.  Autotune
+        # results were measured on an accelerator, so they only apply there.
+        tuned = _load_autotune() if self.device.platform != "cpu" else {}
         if use_pallas is None:
-            use_pallas = os.environ.get("PVAC_PALLAS") == "1"
+            env = os.environ.get("PVAC_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:
+                use_pallas = bool(tuned.get("use_pallas", False))
         self.use_pallas = use_pallas
         # Fused Pallas SHA-256 for the σ choose_k streams: default on for
         # accelerator devices (the XLA op-per-round path is ~100x off VPU
@@ -111,6 +134,8 @@ class DeviceEngine:
         env_sha = os.environ.get("PVAC_PALLAS_SHA")
         if env_sha is not None:
             self.use_pallas_sha = env_sha == "1"
+        elif "use_pallas_sha" in tuned:
+            self.use_pallas_sha = bool(tuned["use_pallas_sha"])
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
         self.H_dev = (
@@ -128,6 +153,12 @@ class DeviceEngine:
         self.s32_dev = (
             self._put_repl(sk.s_words32().reshape(-1))
             if sk is not None else None
+        )
+        self._canon2 = self._put_repl(
+            np.array(
+                [pk.canon_tag & 0xFFFFFFFF, (pk.canon_tag >> 32) & 0xFFFFFFFF],
+                dtype=U32,
+            )
         )
         self._prf_fn_cache = {}
         self._sigma_fn_cache = {}
@@ -315,11 +346,12 @@ class DeviceEngine:
         prm = self.prm
         pallas_sha = self.use_pallas_sha
         mw = prm.sigma_words32
-        canon_lo = U32(self.pk.canon_tag & 0xFFFFFFFF)
-        canon_hi = U32((self.pk.canon_tag >> 32) & 0xFFFFFFFF)
 
-        def run(Hx, ltab, buf):
-            # buf: [E, 3] u32 = (packed, salt_lo, salt_hi)
+        def run(Hx, canon2, ltab, buf):
+            # buf: [E, 3] u32 = (packed, salt_lo, salt_hi); canon2 [2] u32.
+            # canon_tag is an INPUT, not a closure constant — baking it in
+            # would give every keypair a different HLO and defeat the
+            # persistent compile cache across keygens.
             E = buf.shape[0]
             packed = buf[:, 0]
             lid = (packed >> U32(11)).astype(np.int32)
@@ -329,8 +361,7 @@ class DeviceEngine:
             seeds = ltab[lid]  # [E, 3, 2]
             lanes = jnp.stack(
                 [
-                    jnp.stack([jnp.full((E,), canon_lo, dtype=jnp.uint32),
-                               jnp.full((E,), canon_hi, dtype=jnp.uint32)], -1),
+                    jnp.broadcast_to(canon2[None, :], (E, 2)),
                     seeds[:, 0], seeds[:, 1], seeds[:, 2],
                     jnp.stack([idx, zero], -1),
                     jnp.stack([ch, zero], -1),
@@ -342,7 +373,8 @@ class DeviceEngine:
 
         fn = self._jit(
             run,
-            in_specs=(P(None, None), P(None, None, None), P("dp", None)),
+            in_specs=(P(None, None), P(None), P(None, None, None),
+                      P("dp", None)),
             out_specs=(P("dp", None), P("dp")),
         )
         self._sigma_fn_cache[key] = fn
@@ -427,7 +459,7 @@ class DeviceEngine:
             bp = np.zeros((n_pad, 3), dtype=U32)
             bp[:E] = buf
         sig, fb = self._sigma_compact_fn(n_pad, u_pad)(
-            self.Hx_dev, ltab_dev, jnp.asarray(bp)
+            self.Hx_dev, self._canon2, ltab_dev, jnp.asarray(bp)
         )
         return sig[:E], fb[:E]
 

@@ -206,6 +206,9 @@ class MulGrid:
 
         def finalize():
             ow, nz = out
-            return (np.asarray(ow)[:LA, :LB], np.asarray(nz)[:LA, :LB])
+            del nz  # stays on device: recomputing any(-1) on the fetched
+            # weights is cheaper than transferring the mask over the link
+            oww = np.asarray(ow)[:LA, :LB]
+            return oww, oww.any(axis=-1)
 
         return finalize

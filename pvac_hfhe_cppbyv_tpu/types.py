@@ -130,6 +130,119 @@ class LazySigma:
         return out
 
 
+class VirtualSigma:
+    """Recipe-backed σ: per-edge generation inputs instead of the bits.
+
+    σ is LPN camouflage — decryption never reads it and homomorphic ops
+    only re-emit fresh σ (reference `ops/arithmetic.hpp:90-101`), so for
+    deep products the m_bits-per-edge material (1 KB/edge at default
+    Params) need not exist until something actually reads it.  The
+    reference materializes eagerly and its own depth test dies of
+    std::bad_alloc at step 4 (44M edges -> ~45 GB of σ); this
+    representation holds ~12 B/edge (packed layer/idx/ch + salt + a
+    per-layer seed table) and generates rows on demand, bit-identically to
+    eager generation (σ is a pure function of pk, layer seed, idx, ch and
+    the creation-time salt).
+
+    Storage: ltab [U, 3] uint64 (per-layer ztag, nonce_lo, nonce_hi),
+    packed [E] uint32 = lid << 11 | idx << 1 | ch (lid < 2^21, idx < 2^10),
+    salt [E] uint64, plus the owning PubKey for H / engine access.
+    """
+
+    __slots__ = ("pk", "ltab", "packed", "salt", "_mw")
+
+    def __init__(self, pk, ltab, packed, salt):
+        self.pk = pk
+        self.ltab = np.asarray(ltab, dtype=np.uint64)
+        self.packed = np.asarray(packed, dtype=np.uint32)
+        self.salt = np.asarray(salt, dtype=np.uint64)
+        self._mw = pk.prm.sigma_words32
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self._mw)
+
+    @property
+    def dtype(self):
+        return np.uint32
+
+    def __len__(self):
+        return int(self.packed.shape[0])
+
+    def __getitem__(self, key):
+        if isinstance(key, slice) or (
+            isinstance(key, np.ndarray) and key.dtype != np.bool_
+        ):
+            return VirtualSigma(self.pk, self.ltab, self.packed[key],
+                                self.salt[key])
+        if isinstance(key, np.ndarray):  # boolean mask
+            return VirtualSigma(self.pk, self.ltab, self.packed[key],
+                                self.salt[key])
+        return np.asarray(self)[key]
+
+    def copy(self) -> "VirtualSigma":
+        return VirtualSigma(self.pk, self.ltab, self.packed.copy(),
+                            self.salt.copy())
+
+    def materialize(self, rows=None) -> np.ndarray:
+        """Generate σ bits for the selected rows (all rows if None)."""
+        from .crypto import matrix
+
+        packed = self.packed if rows is None else self.packed[rows]
+        salt = self.salt if rows is None else self.salt[rows]
+        E = packed.shape[0]
+        if E == 0:
+            return np.zeros((0, self._mw), dtype=np.uint32)
+        lid = (packed >> np.uint32(11)).astype(np.int64)
+        trip = self.ltab[lid]
+        fin = matrix.sigma_words_start(
+            self.pk,
+            trip[:, 0], trip[:, 1], trip[:, 2],
+            ((packed >> np.uint32(1)) & np.uint32(0x3FF)).astype(np.uint64),
+            (packed & np.uint32(1)).astype(np.uint64),
+            salt,
+        )
+        return np.asarray(fin())
+
+    def popcnt_total(self, chunk: int = 1 << 20) -> int:
+        """Total set bits, streamed (for σ-density diagnostics)."""
+        from .core import bitvec as BV
+
+        total = 0
+        for off in range(0, len(self), chunk):
+            total += int(
+                BV.popcnt(self.materialize(slice(off, off + chunk))).sum()
+            )
+        return total
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.materialize()
+        if dtype is not None:
+            out = out.astype(dtype)
+        return out
+
+
+def concat_virtual_sigma(parts):
+    """Concatenate VirtualSigmas that share a PubKey, merging layer tables."""
+    pk = parts[0].pk
+    offs = []
+    tabs = []
+    u = 0
+    for p in parts:
+        offs.append(u)
+        tabs.append(p.ltab)
+        u += p.ltab.shape[0]
+    ltab = np.concatenate(tabs) if tabs else np.zeros((0, 3), dtype=np.uint64)
+    packed = np.concatenate(
+        [
+            p.packed + np.uint32(off << 11)
+            for p, off in zip(parts, offs)
+        ]
+    )
+    salt = np.concatenate([p.salt for p in parts])
+    return VirtualSigma(pk, ltab, packed, salt)
+
+
 class Cipher:
     """Layered multigraph ciphertext; edge table as SoA numpy arrays.
 
@@ -159,7 +272,9 @@ class Cipher:
             # when they need host bytes.
             mod = type(sigma).__module__
             self.sigma = (
-                sigma if mod.startswith("jax") or isinstance(sigma, LazySigma)
+                sigma
+                if mod.startswith("jax")
+                or isinstance(sigma, (LazySigma, VirtualSigma))
                 else np.asarray(sigma, dtype=np.uint32)
             )
 
