@@ -115,7 +115,8 @@ def main():
         import jax.numpy as jnp
 
         fn = eng._sigma_compact_fn(n_pad, 128)
-        t = bench_dev(fn, eng.Hx_dev, jnp.asarray(ltab), jnp.asarray(buf))
+        t = bench_dev(fn, eng.Hx_dev, eng._canon2, jnp.asarray(ltab),
+                      jnp.asarray(buf))
         t_sig_dev += t * sig_chunks.count(sz)
         log(f"  sigma chunk {sz} (pad {n_pad}): {t*1e3:.1f} ms device")
 
