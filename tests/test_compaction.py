@@ -101,4 +101,6 @@ def test_compact_edges_million_edges_fast():
     dt = time.time() - t0
     # bounded output: <= layers * B * 2 buckets
     assert C.n_edges <= 64 * prm.B * 2
-    assert dt < 2.0, f"compact_edges(1M) took {dt:.2f}s"
+    # Vectorized path runs in ~0.5 s; the Python-loop regression this guards
+    # against took >100 s.  Bound is loose because CI hosts share 2 cores.
+    assert dt < 10.0, f"compact_edges(1M) took {dt:.2f}s"
