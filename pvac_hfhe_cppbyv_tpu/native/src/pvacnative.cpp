@@ -516,6 +516,90 @@ void pvacn_reduce_u64_limbs(const uint64_t* acc, uint64_t n, uint32_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// ct_mul cross-product aggregation (semantics of arithmetic.hpp:72-87):
+// per (A-edge, B-edge) pair, key = ((lidA*LB + lidB)*B + (idxA+idxB)%B)*2
+// + (chA != chB); pair weights multiply in F_{2^127-1} and sum per key in a
+// dense accumulator over the keyspace LA*LB*B*2.  Emits nonzero buckets in
+// ascending key order (matching np.unique + nonzero-filter).  Returns the
+// emitted count, or -1 if the keyspace exceeds the dense cap.
+// ---------------------------------------------------------------------------
+
+static inline u128 fp_mul127(uint64_t alo, uint64_t ahi,
+                             uint64_t blo, uint64_t bhi) {
+    const u128 P = (((u128)1) << 127) - 1;
+    // 128x128 -> 256 via four 64x64 partials (ahi, bhi < 2^63)
+    u128 p0 = (u128)alo * blo;
+    u128 p1 = (u128)alo * bhi;
+    u128 p2 = (u128)ahi * blo;
+    u128 p3 = (u128)ahi * bhi;
+    uint64_t r0 = (uint64_t)p0;
+    u128 mid = (p0 >> 64) + (uint64_t)p1 + (uint64_t)p2;
+    uint64_t r1 = (uint64_t)mid;
+    u128 hi2 = (mid >> 64) + (p1 >> 64) + (p2 >> 64) + (uint64_t)p3;
+    uint64_t r2 = (uint64_t)hi2;
+    uint64_t r3 = (uint64_t)(hi2 >> 64) + (uint64_t)(p3 >> 64);
+    // reduce: R = L + H*2^127 with L = low 127 bits, H = R >> 127 < 2^127
+    // (r3 < 2^62 since p3 < 2^126), and 2^127 == 1 (mod p)
+    u128 L = (u128)r0 | (((u128)(r1 & 0x7FFFFFFFFFFFFFFFULL)) << 64);
+    u128 H = (u128)(r1 >> 63) | (((u128)r2) << 1) | (((u128)r3) << 65);
+    u128 t = L + H;                     // < 2^128
+    t = (t & P) + (t >> 127);
+    if (t >= P) t -= P;
+    return t;
+}
+
+int64_t pvacn_mul_cross_agg(
+    const int32_t* lidA, const int32_t* idxA, const int8_t* chA,
+    const uint32_t* wA, uint64_t nA,
+    const int32_t* lidB, const int32_t* idxB, const int8_t* chB,
+    const uint32_t* wB, uint64_t nB,
+    uint64_t LA, uint64_t LB, uint64_t Bmod,
+    int64_t* out_keys, uint32_t* out_w) {
+    const u128 P = (((u128)1) << 127) - 1;
+    uint64_t keyspace = LA * LB * Bmod * 2;
+    if (keyspace == 0 || keyspace > (1ull << 24)) return -1;
+    u128* acc = (u128*)calloc(keyspace, sizeof(u128));
+    if (!acc) return -1;
+    // precompute B-side (lo, hi) once; A-side per outer iteration
+    uint64_t* bw = (uint64_t*)malloc(nB * 2 * 8);
+    for (uint64_t j = 0; j < nB; j++) {
+        bw[2 * j] = (uint64_t)wB[j * 4] | ((uint64_t)wB[j * 4 + 1] << 32);
+        bw[2 * j + 1] = (uint64_t)wB[j * 4 + 2] | ((uint64_t)wB[j * 4 + 3] << 32);
+    }
+    for (uint64_t i = 0; i < nA; i++) {
+        uint64_t alo = (uint64_t)wA[i * 4] | ((uint64_t)wA[i * 4 + 1] << 32);
+        uint64_t ahi = (uint64_t)wA[i * 4 + 2] | ((uint64_t)wA[i * 4 + 3] << 32);
+        uint64_t rowk = (uint64_t)lidA[i] * LB;
+        uint64_t ia = (uint64_t)idxA[i];
+        int8_t ca = chA[i];
+        for (uint64_t j = 0; j < nB; j++) {
+            uint64_t idx = ia + (uint64_t)idxB[j];
+            if (idx >= Bmod) idx -= Bmod;
+            uint64_t key = (((rowk + (uint64_t)lidB[j]) * Bmod + idx) << 1)
+                           | (uint64_t)(ca != chB[j]);
+            u128 t = acc[key] + fp_mul127(alo, ahi, bw[2 * j], bw[2 * j + 1]);
+            t = (t & P) + (t >> 127);
+            if (t >= P) t -= P;
+            acc[key] = t;
+        }
+    }
+    free(bw);
+    int64_t cnt = 0;
+    for (uint64_t k = 0; k < keyspace; k++) {
+        if (acc[k] == 0) continue;
+        u128 t = acc[k];
+        out_keys[cnt] = (int64_t)k;
+        out_w[cnt * 4 + 0] = (uint32_t)t;
+        out_w[cnt * 4 + 1] = (uint32_t)(t >> 32);
+        out_w[cnt * 4 + 2] = (uint32_t)(t >> 64);
+        out_w[cnt * 4 + 3] = (uint32_t)(t >> 96);
+        cnt++;
+    }
+    free(acc);
+    return cnt;
+}
+
+// ---------------------------------------------------------------------------
 // .ct codec: wire format (tests/bounty2_test.cpp:17-126) <-> SoA arrays.
 // Caller first asks for counts, then provides buffers.
 // ---------------------------------------------------------------------------

@@ -310,6 +310,19 @@ def _ct_mul_stage_host(pk: PubKey, layers, base, A: Cipher, B: Cipher) -> dict:
     nA, nB = A.n_edges, B.n_edges
     Bmod = pk.prm.B
 
+    from .. import native
+
+    got = native.mul_cross_agg(
+        A.layer_id, A.idx, A.ch, A.w, B.layer_id, B.idx, B.ch, B.w,
+        LA, LB, Bmod,
+    )
+    if got is not None:
+        ks, out_w = got
+        out_lid = (base + (ks // 2) // Bmod).astype(np.int32)
+        out_idx = ((ks // 2) % Bmod).astype(np.int32)
+        out_ch = np.where((ks & 1) == 0, SGN_P, SGN_M).astype(np.int8)
+        return _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w)
+
     # Cross product in chunks of A-edges: bounds peak memory at
     # ~chunk*nB pair rows regardless of ciphertext size.
     chunk = max(1, (4 << 20) // max(1, nB))
