@@ -167,6 +167,10 @@ def expand_keys_packed(keys: np.ndarray) -> np.ndarray | None:
     return out
 
 
+# Dense-accumulator cap for mul_cross_agg: 2^24 keys x 16 B = 256 MB peak.
+CROSS_AGG_KEYSPACE_MAX = 1 << 24
+
+
 def mul_cross_agg(lidA, idxA, chA, wA, lidB, idxB, chB, wB,
                   LA: int, LB: int, Bmod: int):
     """ct_mul edge cross product, aggregated per (layer-pair, idx, sign)
@@ -177,7 +181,7 @@ def mul_cross_agg(lidA, idxA, chA, wA, lidB, idxB, chB, wB,
     if L is None:
         return None
     keyspace = LA * LB * Bmod * 2
-    if keyspace == 0 or keyspace > (1 << 24):
+    if keyspace == 0 or keyspace > CROSS_AGG_KEYSPACE_MAX:
         return None
     nA, nB = len(lidA), len(lidB)
     cap = int(min(nA * nB, keyspace))

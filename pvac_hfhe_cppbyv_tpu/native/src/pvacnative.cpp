@@ -548,25 +548,19 @@ static inline u128 fp_mul127(uint64_t alo, uint64_t ahi,
     return t;
 }
 
-int64_t pvacn_mul_cross_agg(
+static void cross_agg_range(
     const int32_t* lidA, const int32_t* idxA, const int8_t* chA,
     const uint32_t* wA, uint64_t nA,
     const int32_t* lidB, const int32_t* idxB, const int8_t* chB,
-    const uint32_t* wB, uint64_t nB,
-    uint64_t LA, uint64_t LB, uint64_t Bmod,
-    int64_t* out_keys, uint32_t* out_w) {
+    const uint64_t* bw, uint64_t nB,
+    uint64_t LB, uint64_t Bmod, uint64_t tmod, uint64_t tsel,
+    u128* acc) {
     const u128 P = (((u128)1) << 127) - 1;
-    uint64_t keyspace = LA * LB * Bmod * 2;
-    if (keyspace == 0 || keyspace > (1ull << 24)) return -1;
-    u128* acc = (u128*)calloc(keyspace, sizeof(u128));
-    if (!acc) return -1;
-    // precompute B-side (lo, hi) once; A-side per outer iteration
-    uint64_t* bw = (uint64_t*)malloc(nB * 2 * 8);
-    for (uint64_t j = 0; j < nB; j++) {
-        bw[2 * j] = (uint64_t)wB[j * 4] | ((uint64_t)wB[j * 4 + 1] << 32);
-        bw[2 * j + 1] = (uint64_t)wB[j * 4 + 2] | ((uint64_t)wB[j * 4 + 3] << 32);
-    }
     for (uint64_t i = 0; i < nA; i++) {
+        // partition the A side by layer id: the output key's top bits are
+        // lidA, so threads with different (lidA % tmod) touch disjoint acc
+        // entries and the accumulator can be shared lock-free.
+        if ((uint64_t)lidA[i] % tmod != tsel) continue;
         uint64_t alo = (uint64_t)wA[i * 4] | ((uint64_t)wA[i * 4 + 1] << 32);
         uint64_t ahi = (uint64_t)wA[i * 4 + 2] | ((uint64_t)wA[i * 4 + 3] << 32);
         uint64_t rowk = (uint64_t)lidA[i] * LB;
@@ -582,6 +576,40 @@ int64_t pvacn_mul_cross_agg(
             if (t >= P) t -= P;
             acc[key] = t;
         }
+    }
+}
+
+int64_t pvacn_mul_cross_agg(
+    const int32_t* lidA, const int32_t* idxA, const int8_t* chA,
+    const uint32_t* wA, uint64_t nA,
+    const int32_t* lidB, const int32_t* idxB, const int8_t* chB,
+    const uint32_t* wB, uint64_t nB,
+    uint64_t LA, uint64_t LB, uint64_t Bmod,
+    int64_t* out_keys, uint32_t* out_w) {
+    uint64_t keyspace = LA * LB * Bmod * 2;
+    if (keyspace == 0 || keyspace > (1ull << 24)) return -1;
+    u128* acc = (u128*)calloc(keyspace, sizeof(u128));
+    if (!acc) return -1;
+    // precompute B-side (lo, hi) once; A-side per outer iteration
+    uint64_t* bw = (uint64_t*)malloc(nB * 2 * 8);
+    if (!bw) { free(acc); return -1; }
+    for (uint64_t j = 0; j < nB; j++) {
+        bw[2 * j] = (uint64_t)wB[j * 4] | ((uint64_t)wB[j * 4 + 1] << 32);
+        bw[2 * j + 1] = (uint64_t)wB[j * 4 + 2] | ((uint64_t)wB[j * 4 + 3] << 32);
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    uint64_t nt = hw ? hw : 1;
+    if (nt > LA) nt = LA;
+    if (nA * nB < (1ull << 22)) nt = 1;  // don't spawn for tiny products
+    if (nt <= 1) {
+        cross_agg_range(lidA, idxA, chA, wA, nA, lidB, idxB, chB, bw, nB,
+                        LB, Bmod, 1, 0, acc);
+    } else {
+        std::vector<std::thread> ts;
+        for (uint64_t t = 0; t < nt; t++)
+            ts.emplace_back(cross_agg_range, lidA, idxA, chA, wA, nA,
+                            lidB, idxB, chB, bw, nB, LB, Bmod, nt, t, acc);
+        for (auto& th : ts) th.join();
     }
     free(bw);
     int64_t cnt = 0;

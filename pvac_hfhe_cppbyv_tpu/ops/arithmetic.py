@@ -161,6 +161,23 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
 # layer grid LA*LB*B^2 instead.
 MULGRID_PAIR_THRESHOLD = 1 << 20
 
+# ... unless the native threaded dense-bucket aggregator applies: it runs
+# at ~45M pairs/s/core (measured, 2-core host), so up to this many pairs
+# it beats shipping the product through the device grid (37 s vs 2.6 s at
+# the depth-sweep step-3 shape).  Tunable for bigger hosts.
+NATIVE_AGG_PAIR_MAX = int(
+    os.environ.get("PVAC_NATIVE_AGG_PAIR_MAX", str(1 << 28)))
+
+
+def _native_agg_viable(LA: int, LB: int, Bmod: int, npairs: int) -> bool:
+    from .. import native
+
+    if native.lib() is None:
+        return False
+    keyspace = LA * LB * Bmod * 2
+    return 0 < keyspace <= native.CROSS_AGG_KEYSPACE_MAX \
+        and npairs <= NATIVE_AGG_PAIR_MAX
+
 
 def _agg_slots(C: Cipher, Bmod: int):
     """Pre-aggregate edges by (layer, sign, idx) slot: weights field-sum.
@@ -236,7 +253,8 @@ def _ct_mul_stage_start(pk: PubKey, A: Cipher, B: Cipher):
     Bmod = pk.prm.B
 
     engine = getattr(pk, "_engine", None)
-    if engine is not None and nA * nB >= MULGRID_PAIR_THRESHOLD:
+    if (engine is not None and nA * nB >= MULGRID_PAIR_THRESHOLD
+            and not _native_agg_viable(LA, LB, Bmod, nA * nB)):
         return _stage_device(pk, engine, A, B, layers, base)
 
     def finalize_host():

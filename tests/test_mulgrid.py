@@ -132,6 +132,10 @@ def test_mulgrid_mesh_blocks_use_all_devices(small_keys, monkeypatch):
         a, b = 31337, 271828
         ca, cb = pvac.enc_value_batch(pk, sk, [a, b])
         monkeypatch.setattr(ar, "MULGRID_PAIR_THRESHOLD", 1)
+        # force the device grid even though the native host aggregator
+        # would claim this small-keyspace product
+        monkeypatch.setattr(ar, "_native_agg_viable",
+                            lambda *a_, **k_: False)
         prod = pvac.ct_mul(pk, ca, cb)
 
         # prod has 4 occupied PROD layers; 2x2 blocking -> 4 block dispatches
