@@ -175,12 +175,16 @@ def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
             cols, fb1 = shactr.choose_k_batch(prm.x_col_wt, prm.n_bits, Dom.X_SEED, lanes)
             noise, fb2 = shactr.choose_k_batch(prm.err_wt, prm.m_bits, Dom.NOISE, lanes)
             fb = fb1 | fb2
-        # XOR of the selected H columns
-        sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
-        # XOR of err_wt unique single bits (unique => OR == XOR)
-        eids = np.repeat(np.arange(E), prm.err_wt)
-        r = noise.reshape(-1)
-        np.bitwise_xor.at(sig, (eids, r // 32), U32(1) << (r % 32).astype(U32))
+        # XOR of the selected H columns + err_wt unique single noise bits
+        # (unique => OR == XOR); native streams H rows, numpy materializes
+        # the [E, k, mw] gather
+        sig = native.sigma_xor(pk.H, cols, noise)
+        if sig is None:
+            sig = np.bitwise_xor.reduce(pk.H[cols], axis=1)  # [E, mw]
+            eids = np.repeat(np.arange(E), prm.err_wt)
+            r = noise.reshape(-1)
+            np.bitwise_xor.at(sig, (eids, r // 32),
+                              U32(1) << (r % 32).astype(U32))
 
     return SigmaJob(pk, prm, words, sig, fb)
 

@@ -87,6 +87,7 @@ def lib():
     ]
     L.pvacn_mul_cross_agg.restype = ctypes.c_int64
     L.pvacn_reduce_u64_limbs.argtypes = [u64p, u64, u32p]
+    L.pvacn_sigma_xor.argtypes = [u32p, u64, i32p, u64, i32p, u64, u64, u32p]
     L.pvacn_expand_keys_packed.argtypes = [u8p, u64, u32p]
     L.pvacn_ct_scan.argtypes = [u8p, u64, u64, u64p, u64p, u64p, u64p]
     L.pvacn_ct_scan.restype = ctypes.c_int
@@ -163,6 +164,30 @@ def expand_keys_packed(keys: np.ndarray) -> np.ndarray | None:
     out = np.zeros((1920, nw), dtype=np.uint32)
     L.pvacn_expand_keys_packed(
         _ptr(keys, ctypes.c_uint8), N, _ptr(out, ctypes.c_uint32)
+    )
+    return out
+
+
+def sigma_xor(H: np.ndarray, cols: np.ndarray,
+              noise: np.ndarray) -> np.ndarray | None:
+    """XOR k selected H rows + e single noise bits per edge (threaded),
+    the streaming equivalent of ``np.bitwise_xor.reduce(H[cols], axis=1)``.
+    H [n_bits, mw] u32; cols [E, k] int32; noise [E, e] int32 ->
+    [E, mw] u32, or None when native is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    H = np.ascontiguousarray(H, dtype=np.uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    noise = np.ascontiguousarray(noise, dtype=np.int32)
+    E, k = cols.shape
+    e = noise.shape[1] if noise.ndim == 2 else 0
+    out = np.empty((E, H.shape[1]), dtype=np.uint32)
+    L.pvacn_sigma_xor(
+        _ptr(H, ctypes.c_uint32), H.shape[1],
+        _ptr(cols, ctypes.c_int32), k,
+        _ptr(noise, ctypes.c_int32), e,
+        E, _ptr(out, ctypes.c_uint32),
     )
     return out
 

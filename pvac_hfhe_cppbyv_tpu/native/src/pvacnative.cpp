@@ -516,6 +516,56 @@ void pvacn_reduce_u64_limbs(const uint64_t* acc, uint64_t n, uint32_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// Batched sigma_from_H column XOR (matrix.hpp:267-303): per edge, XOR k
+// selected H rows ([mw] u32 each) plus e single noise bits into out[E, mw].
+// Streams H rows instead of materializing the [E, k, mw] numpy gather.
+// ---------------------------------------------------------------------------
+
+static void sigma_xor_range(
+    const uint32_t* H, uint64_t mw,
+    const int32_t* cols, uint64_t k,
+    const int32_t* noise, uint64_t e,
+    uint64_t e0, uint64_t e1, uint32_t* out) {
+    for (uint64_t ed = e0; ed < e1; ed++) {
+        uint32_t* dst = out + ed * mw;
+        memset(dst, 0, mw * 4);
+        const int32_t* c = cols + ed * k;
+        for (uint64_t j = 0; j < k; j++) {
+            const uint32_t* row = H + (uint64_t)c[j] * mw;
+            for (uint64_t wI = 0; wI < mw; wI++) dst[wI] ^= row[wI];
+        }
+        const int32_t* nn = noise + ed * e;
+        for (uint64_t j = 0; j < e; j++) {
+            uint32_t r = (uint32_t)nn[j];
+            dst[r >> 5] ^= 1u << (r & 31);
+        }
+    }
+}
+
+void pvacn_sigma_xor(
+    const uint32_t* H, uint64_t mw,
+    const int32_t* cols, uint64_t k,
+    const int32_t* noise, uint64_t e,
+    uint64_t E, uint32_t* out) {
+    unsigned hw = std::thread::hardware_concurrency();
+    uint64_t nt = hw ? hw : 1;
+    if (nt > E / 64) nt = E / 64;  // don't spawn for tiny batches
+    if (nt <= 1) {
+        sigma_xor_range(H, mw, cols, k, noise, e, 0, E, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    uint64_t per = (E + nt - 1) / nt;
+    for (uint64_t t = 0; t < nt; t++) {
+        uint64_t e0 = t * per, e1 = e0 + per < E ? e0 + per : E;
+        if (e0 >= e1) break;
+        ts.emplace_back(sigma_xor_range, H, mw, cols, k, noise, e, e0, e1,
+                        out);
+    }
+    for (auto& th : ts) th.join();
+}
+
+// ---------------------------------------------------------------------------
 // ct_mul cross-product aggregation (semantics of arithmetic.hpp:72-87):
 // per (A-edge, B-edge) pair, key = ((lidA*LB + lidB)*B + (idxA+idxB)%B)*2
 // + (chA != chB); pair weights multiply in F_{2^127-1} and sum per key in a
