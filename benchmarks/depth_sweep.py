@@ -11,7 +11,12 @@ the reference ABORTS with std::bad_alloc under a 60 GB cap (44M edges x
 dense-grid cross product (parallel/mulgrid.py) plus recipe-backed virtual
 σ (types.VirtualSigma, ~12 B/edge until something reads the bits).
 
-Usage: python benchmarks/depth_sweep.py [max_steps] [--csv out.csv]
+Usage: python benchmarks/depth_sweep.py [max_steps] [--csv out.csv] [--host]
+
+--host runs without the device engine: every stage (native threaded
+cross-product aggregation, native sigma XOR, AES-NI PRF) on the host
+CPU — the configuration that beats the reference C++ at steps 1-3 with
+no accelerator at all.
 """
 import os
 import sys
@@ -49,13 +54,17 @@ def main():
     if "--csv" in sys.argv:
         csv_path = sys.argv[sys.argv.index("--csv") + 1]
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
+    host_only = "--host" in sys.argv
     prm = pvac.Params()
     t0 = time.time()
     pk, sk = pvac.keygen(prm)
     log(f"keygen: {time.time()-t0:.1f}s")
-    enable_device(pk, sk, device=dev)
+    if host_only:
+        log("host engine (no device)")
+    else:
+        dev = jax.devices()[0]
+        log(f"device: {dev}")
+        enable_device(pk, sk, device=dev)
 
     c = pvac.enc_value(pk, sk, 2)
     expected = 2
