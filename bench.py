@@ -253,6 +253,19 @@ def main():
     remaining = BUDGET - (time.time() - T0)
     out = phase("ct_mul", lambda: run_mul(pairs),
                 max(60.0, remaining - (120 if device_ok else 30)))
+    if out is None and device_ok:
+        # device wedged mid-phase (the tunnel can stall for minutes under
+        # cross-process contention): measure the all-host engine instead —
+        # native cross aggregation + native σ XOR still beat the reference
+        log("ct_mul device phase failed; falling back to the host engine")
+        from pvac_hfhe_cppbyv_tpu.parallel.engine import disable_device
+
+        disable_device(pk)
+        device_ok = False
+        pairs = pairs[: (2 if quick else 16)]
+        remaining = BUDGET - (time.time() - T0)
+        out = phase("ct_mul-host", lambda: run_mul(pairs),
+                    max(30.0, remaining - 30))
     if out is not None:
         RESULTS["mul_per_s"], warm = out
         log(f"ct_mul: {RESULTS['mul_per_s']:.2f} ops/s (warmup {warm:.1f}s) "

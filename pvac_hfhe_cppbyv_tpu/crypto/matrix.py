@@ -137,14 +137,19 @@ def prg_layer_ztag(canon_tag: int, nonce: Nonce128) -> int:
     return struct.unpack("<Q", H.sha256(msg)[:8])[0]
 
 
-def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
+def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt,
+                      tab=None):
     """Batched sigma_from_H (matrix.hpp:267-303) over E edges, split into
     dispatch + finalize so callers can overlap other work with the device
     computation.
 
-    All arguments after pk are arrays [E] (uint64-compatible).  Returns a
-    zero-arg finalize() -> [E, m_words32] uint32 packed syndromes (a
-    device-resident jax array on the engine path)."""
+    All arguments after pk are arrays [E] (uint64-compatible).  ``tab``
+    optionally carries ``(ltab [U, 3] u64, lid [E])`` with
+    ``ltab[lid] == stack([ztag, nonce_lo, nonce_hi], -1)`` — callers that
+    already own the layer seed table pass it so the engine path skips a
+    structured-sort dedup.  Returns a zero-arg finalize() ->
+    [E, m_words32] uint32 packed syndromes (a device-resident jax array on
+    the engine path)."""
     prm = pk.prm
     E = len(ztag)
     words = np.zeros((E, 7), dtype=np.uint64)
@@ -157,7 +162,7 @@ def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt):
     words[:, 6] = salt
     engine = getattr(pk, "_engine", None)
     if engine is not None and engine.H_dev is not None:
-        sig, fb = engine.sigma(words)
+        sig, fb = engine.sigma(words, tab=tab)
     else:
         from .. import native
 

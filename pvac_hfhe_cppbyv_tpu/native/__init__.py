@@ -87,7 +87,8 @@ def lib():
     ]
     L.pvacn_mul_cross_agg.restype = ctypes.c_int64
     L.pvacn_reduce_u64_limbs.argtypes = [u64p, u64, u32p]
-    L.pvacn_sigma_xor.argtypes = [u32p, u64, i32p, u64, i32p, u64, u64, u32p]
+    L.pvacn_sigma_xor.argtypes = [u32p, u64, u64, i32p, u64, i32p, u64, u64,
+                                  u32p]
     L.pvacn_expand_keys_packed.argtypes = [u8p, u64, u32p]
     L.pvacn_ct_scan.argtypes = [u8p, u64, u64, u64p, u64p, u64p, u64p]
     L.pvacn_ct_scan.restype = ctypes.c_int
@@ -184,7 +185,7 @@ def sigma_xor(H: np.ndarray, cols: np.ndarray,
     e = noise.shape[1] if noise.ndim == 2 else 0
     out = np.empty((E, H.shape[1]), dtype=np.uint32)
     L.pvacn_sigma_xor(
-        _ptr(H, ctypes.c_uint32), H.shape[1],
+        _ptr(H, ctypes.c_uint32), H.shape[0], H.shape[1],
         _ptr(cols, ctypes.c_int32), k,
         _ptr(noise, ctypes.c_int32), e,
         E, _ptr(out, ctypes.c_uint32),

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -25,6 +26,14 @@
 #define PVACN_AESNI 1
 #else
 #define PVACN_AESNI 0
+#endif
+
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#include <cpuid.h>
+#define PVACN_X86 1
+#else
+#define PVACN_X86 0
 #endif
 
 extern "C" {
@@ -66,7 +75,68 @@ static void sha_init(ShaCtx& c) {
     c.ptr = 0;
 }
 
+// SHA-NI compression (one block) — standard Intel construction; round
+// constants come straight from SHA_K.  Dispatched at runtime below.
+#if PVACN_X86
+__attribute__((target("sha,sse4.1,ssse3")))
+static void sha_block_ni(uint32_t state[8], const uint8_t* data) {
+    const __m128i MASK = _mm_set_epi64x(0x0c0d0e0f08090a0bULL,
+                                        0x0405060700010203ULL);
+    __m128i TMP = _mm_loadu_si128((const __m128i*)&state[0]);
+    __m128i STATE1 = _mm_loadu_si128((const __m128i*)&state[4]);
+    TMP = _mm_shuffle_epi32(TMP, 0xB1);                    /* CDAB */
+    STATE1 = _mm_shuffle_epi32(STATE1, 0x1B);              /* EFGH */
+    __m128i STATE0 = _mm_alignr_epi8(TMP, STATE1, 8);      /* ABEF */
+    STATE1 = _mm_blend_epi16(STATE1, TMP, 0xF0);           /* CDGH */
+    const __m128i ABEF_SAVE = STATE0, CDGH_SAVE = STATE1;
+
+    __m128i m[4];
+    for (int i = 0; i < 4; i++)
+        m[i] = _mm_shuffle_epi8(
+            _mm_loadu_si128((const __m128i*)(data + 16 * i)), MASK);
+    for (int i = 0; i < 16; i++) {
+        __m128i msg = _mm_add_epi32(
+            m[i & 3], _mm_loadu_si128((const __m128i*)&SHA_K[i * 4]));
+        STATE1 = _mm_sha256rnds2_epu32(STATE1, STATE0, msg);
+        msg = _mm_shuffle_epi32(msg, 0x0E);
+        STATE0 = _mm_sha256rnds2_epu32(STATE0, STATE1, msg);
+        if (i >= 3 && i < 15) {
+            __m128i tmp = _mm_alignr_epi8(m[i & 3], m[(i + 3) & 3], 4);
+            m[(i + 1) & 3] = _mm_sha256msg2_epu32(
+                _mm_add_epi32(
+                    _mm_sha256msg1_epu32(m[(i + 1) & 3], m[(i + 2) & 3]),
+                    tmp),
+                m[i & 3]);
+        }
+    }
+    STATE0 = _mm_add_epi32(STATE0, ABEF_SAVE);
+    STATE1 = _mm_add_epi32(STATE1, CDGH_SAVE);
+    TMP = _mm_shuffle_epi32(STATE0, 0x1B);                 /* FEBA */
+    STATE1 = _mm_shuffle_epi32(STATE1, 0xB1);              /* DCHG */
+    STATE0 = _mm_blend_epi16(TMP, STATE1, 0xF0);           /* DCBA */
+    STATE1 = _mm_alignr_epi8(STATE1, TMP, 8);              /* HGFE */
+    _mm_storeu_si128((__m128i*)&state[0], STATE0);
+    _mm_storeu_si128((__m128i*)&state[4], STATE1);
+}
+
+static bool cpu_has_sha_ni() {
+    unsigned a = 0, b = 0, c = 0, d = 0;
+    if (__get_cpuid_count(7, 0, &a, &b, &c, &d)) return (b >> 29) & 1;
+    return false;
+}
+#endif  // PVACN_X86
+
+static void sha_block_soft(uint32_t h[8], const uint8_t* p);
+
 static void sha_block(uint32_t h[8], const uint8_t* p) {
+#if PVACN_X86
+    static const bool ni = cpu_has_sha_ni();
+    if (ni) { sha_block_ni(h, p); return; }
+#endif
+    sha_block_soft(h, p);
+}
+
+static void sha_block_soft(uint32_t h[8], const uint8_t* p) {
     uint32_t w[64];
     for (int i = 0; i < 16; i++)
         w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16) |
@@ -173,31 +243,80 @@ static void choose_k_range(
     uint64_t l0, uint64_t l1, uint32_t k, uint64_t N,
     int32_t* out) {
     uint64_t lim = N <= 1 ? ~0ull : ~0ull - (~0ull % N);
+    // Two-block fast path: message = label || words || ctr.  When the
+    // (label, words) prefix covers block 1 and the rest (tail + ctr +
+    // padding) fits block 2, hash block 1 ONCE per lane and per draw only
+    // patch the 8 ctr bytes of a prebuilt block-2 template — one
+    // compression per 32-byte draw instead of two plus byte shuffling.
+    uint64_t prefix_len = label_len + 8 * n_words;
+    uint64_t total_len = prefix_len + 8;
+    bool fast = prefix_len >= 64 && (total_len - 64) + 9 <= 64;
     for (uint64_t l = l0; l < l1; l++) {
         // sequential stream for this lane
         uint64_t ctr = 0;
         uint8_t d[32];
         int idx = 32;
         uint32_t got = 0;
+        uint32_t mid[8];
+        uint8_t blk2[64];
+        uint64_t tail = 0;
+        if (fast) {
+            uint8_t prefix[64 + 8 * 64];  // label <= 55 in fast mode
+            memcpy(prefix, label, label_len);
+            for (uint64_t wI = 0; wI < n_words; wI++) {
+                uint64_t x = words[l * n_words + wI];
+                for (int i = 0; i < 8; i++)
+                    prefix[label_len + 8 * wI + i] = (uint8_t)(x >> (8 * i));
+            }
+            static const uint32_t H0[8] = {
+                0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+            memcpy(mid, H0, sizeof H0);
+            sha_block(mid, prefix);
+            tail = prefix_len - 64;
+            memset(blk2, 0, 64);
+            memcpy(blk2, prefix + 64, tail);
+            blk2[tail + 8] = 0x80;
+            uint64_t bits = total_len * 8;
+            for (int i = 0; i < 8; i++)
+                blk2[56 + i] = (uint8_t)(bits >> (56 - 8 * i));
+        }
         // tiny open-addressing set; N <= 65536 in all scheme configs
         static thread_local uint8_t seen[65536];
         memset(seen, 0, (size_t)N);
         while (got < k) {
             if (idx >= 32) {
-                ShaCtx s;
-                sha_init(s);
-                sha_update(s, label, label_len);
-                for (uint64_t wI = 0; wI < n_words; wI++) {
-                    uint64_t x = words[l * n_words + wI];
-                    uint8_t b[8];
-                    for (int i = 0; i < 8; i++) b[i] = (uint8_t)(x >> (8 * i));
-                    sha_update(s, b, 8);
+                if (fast) {
+                    for (int i = 0; i < 8; i++)
+                        blk2[tail + i] = (uint8_t)(ctr >> (8 * i));
+                    ctr++;
+                    uint32_t h[8];
+                    memcpy(h, mid, sizeof h);
+                    sha_block(h, blk2);
+                    for (int i = 0; i < 8; i++) {
+                        d[4 * i] = (uint8_t)(h[i] >> 24);
+                        d[4 * i + 1] = (uint8_t)(h[i] >> 16);
+                        d[4 * i + 2] = (uint8_t)(h[i] >> 8);
+                        d[4 * i + 3] = (uint8_t)h[i];
+                    }
+                } else {
+                    ShaCtx s;
+                    sha_init(s);
+                    sha_update(s, label, label_len);
+                    for (uint64_t wI = 0; wI < n_words; wI++) {
+                        uint64_t x = words[l * n_words + wI];
+                        uint8_t b[8];
+                        for (int i = 0; i < 8; i++)
+                            b[i] = (uint8_t)(x >> (8 * i));
+                        sha_update(s, b, 8);
+                    }
+                    uint8_t cb[8];
+                    for (int i = 0; i < 8; i++)
+                        cb[i] = (uint8_t)(ctr >> (8 * i));
+                    ctr++;
+                    sha_update(s, cb, 8);
+                    sha_final(s, d);
                 }
-                uint8_t cb[8];
-                for (int i = 0; i < 8; i++) cb[i] = (uint8_t)(ctr >> (8 * i));
-                ctr++;
-                sha_update(s, cb, 8);
-                sha_final(s, d);
                 idx = 0;
             }
             uint64_t x = 0;
@@ -522,18 +641,62 @@ void pvacn_reduce_u64_limbs(const uint64_t* acc, uint64_t n, uint32_t* out) {
 // ---------------------------------------------------------------------------
 
 static void sigma_xor_range(
-    const uint32_t* H, uint64_t mw,
+    const uint32_t* H, uint64_t n_bits, uint64_t mw,
     const int32_t* cols, uint64_t k,
     const int32_t* noise, uint64_t e,
     uint64_t e0, uint64_t e1, uint32_t* out) {
+    // Loop inversion: the per-edge row picks are uniform over n_bits, so a
+    // direct gather is DRAM-latency bound on H.  Bucket the (edge, row)
+    // pairs by row, then stream H sequentially ONCE while the edge
+    // accumulators stay cache-hot (the e1-e0 block is sized by the caller
+    // so out fits in LLC).  XOR commutes, so ordering is irrelevant.
+    uint64_t ne = e1 - e0;
+    uint64_t entries = ne * k;
+    uint32_t* cnt = (uint32_t*)calloc(n_bits + 1, 4);
+    uint32_t* eid = (uint32_t*)malloc(entries * 4);
+    if (!cnt || !eid) {  // fall back to the direct gather
+        free(cnt); free(eid);
+        for (uint64_t ed = e0; ed < e1; ed++) {
+            uint32_t* dst = out + ed * mw;
+            memset(dst, 0, mw * 4);
+            const int32_t* c = cols + ed * k;
+            for (uint64_t j = 0; j < k; j++) {
+                const uint32_t* row = H + (uint64_t)c[j] * mw;
+                for (uint64_t wI = 0; wI < mw; wI++) dst[wI] ^= row[wI];
+            }
+            const int32_t* nn = noise + ed * e;
+            for (uint64_t j = 0; j < e; j++) {
+                uint32_t r = (uint32_t)nn[j];
+                dst[r >> 5] ^= 1u << (r & 31);
+            }
+        }
+        return;
+    }
+    const int32_t* cblk = cols + e0 * k;
+    for (uint64_t i = 0; i < entries; i++) cnt[cblk[i] + 1]++;
+    for (uint64_t r = 0; r < n_bits; r++) cnt[r + 1] += cnt[r];
+    for (uint64_t ed = 0; ed < ne; ed++)
+        for (uint64_t j = 0; j < k; j++)
+            eid[cnt[cblk[ed * k + j]]++] = (uint32_t)ed;
+    // cnt[r] now ends one past row r's entries; entries for row r are
+    // [r == 0 ? 0 : cnt[r-1], cnt[r])
+    memset(out + e0 * mw, 0, ne * mw * 4);
+    uint64_t start = 0;
+    for (uint64_t r = 0; r < n_bits; r++) {
+        uint64_t end = cnt[r];
+        if (end != start) {
+            const uint32_t* row = H + r * mw;
+            for (uint64_t i = start; i < end; i++) {
+                uint32_t* dst = out + (e0 + (uint64_t)eid[i]) * mw;
+                for (uint64_t wI = 0; wI < mw; wI++) dst[wI] ^= row[wI];
+            }
+        }
+        start = end;
+    }
+    free(cnt);
+    free(eid);
     for (uint64_t ed = e0; ed < e1; ed++) {
         uint32_t* dst = out + ed * mw;
-        memset(dst, 0, mw * 4);
-        const int32_t* c = cols + ed * k;
-        for (uint64_t j = 0; j < k; j++) {
-            const uint32_t* row = H + (uint64_t)c[j] * mw;
-            for (uint64_t wI = 0; wI < mw; wI++) dst[wI] ^= row[wI];
-        }
         const int32_t* nn = noise + ed * e;
         for (uint64_t j = 0; j < e; j++) {
             uint32_t r = (uint32_t)nn[j];
@@ -543,25 +706,36 @@ static void sigma_xor_range(
 }
 
 void pvacn_sigma_xor(
-    const uint32_t* H, uint64_t mw,
+    const uint32_t* H, uint64_t n_bits, uint64_t mw,
     const int32_t* cols, uint64_t k,
     const int32_t* noise, uint64_t e,
     uint64_t E, uint32_t* out) {
+    // Block edges so each block's accumulators (~block * mw * 4 bytes)
+    // stay LLC-resident during the streamed H pass: 2048 edges x 1 KB =
+    // 2 MB per block.
+    const uint64_t BLK = 2048;
     unsigned hw = std::thread::hardware_concurrency();
     uint64_t nt = hw ? hw : 1;
-    if (nt > E / 64) nt = E / 64;  // don't spawn for tiny batches
+    if (nt > (E + BLK - 1) / BLK) nt = (E + BLK - 1) / BLK;
     if (nt <= 1) {
-        sigma_xor_range(H, mw, cols, k, noise, e, 0, E, out);
+        for (uint64_t e0 = 0; e0 < E; e0 += BLK) {
+            uint64_t e1 = e0 + BLK < E ? e0 + BLK : E;
+            sigma_xor_range(H, n_bits, mw, cols, k, noise, e, e0, e1, out);
+        }
         return;
     }
+    std::atomic<uint64_t> next(0);
     std::vector<std::thread> ts;
-    uint64_t per = (E + nt - 1) / nt;
-    for (uint64_t t = 0; t < nt; t++) {
-        uint64_t e0 = t * per, e1 = e0 + per < E ? e0 + per : E;
-        if (e0 >= e1) break;
-        ts.emplace_back(sigma_xor_range, H, mw, cols, k, noise, e, e0, e1,
-                        out);
-    }
+    for (uint64_t t = 0; t < nt; t++)
+        ts.emplace_back([&]() {
+            for (;;) {
+                uint64_t e0 = next.fetch_add(BLK);
+                if (e0 >= E) return;
+                uint64_t e1 = e0 + BLK < E ? e0 + BLK : E;
+                sigma_xor_range(H, n_bits, mw, cols, k, noise, e, e0, e1,
+                                out);
+            }
+        });
     for (auto& th : ts) th.join();
 }
 

@@ -65,13 +65,24 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         keep any remainder pending."""
         nonlocal pend, pend_n
         cat = [np.concatenate([b[j] for b in pend]) for j in range(6)]
+        # merge the per-stage layer seed tables: each block's lid indexes
+        # its own ltab, so shift by the running row offset
+        ltab = np.vstack([b[6] for b in pend])
+        off = 0
+        lids = []
+        for b in pend:
+            lids.append(b[7] + off)
+            off += b[6].shape[0]
+        lid = np.concatenate(lids)
         rem = [c[nlanes:] for c in cat]
+        lid_rem = lid[nlanes:]
         cat = [c[:nlanes] for c in cat]
         fin = matrix.sigma_words_start(
-            pk, cat[0], cat[1], cat[2], cat[3], cat[4], cat[5]
+            pk, cat[0], cat[1], cat[2], cat[3], cat[4], cat[5],
+            tab=(ltab, lid[:nlanes]),
         )
         finals.append((fin, nlanes))
-        pend = [tuple(rem)] if rem[0].size else []
+        pend = ([tuple(rem) + (ltab, lid_rem)] if rem[0].size else [])
         pend_n = int(rem[0].shape[0])
 
     # Products beyond this edge count keep σ VIRTUAL (recipe-backed,
@@ -105,12 +116,13 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
                                              dtype=np.uint64)
             )
         elif n:
-            zt, nlo, nhi = _stage_seed_words(s)
+            zt, nlo, nhi, ltab, lid = _stage_seed_words(s)
             pend.append((
                 zt, nlo, nhi,
                 s["out_idx"].astype(np.uint64),
                 s["out_ch"].astype(np.uint64),
                 csprng_u64_array(n),
+                ltab, lid,
             ))
             pend_n += n
             if pend_n >= CH:
@@ -222,6 +234,7 @@ def _mul_layers(pk: PubKey, A: Cipher, B: Cipher):
 def _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w):
     return {
         "layers": layers,
+        "base": base,
         "out_lid": out_lid,
         "out_idx": out_idx,
         "out_ch": out_ch,
@@ -231,13 +244,20 @@ def _stage_dict(layers, base, out_lid, out_idx, out_ch, out_w):
 
 def _stage_seed_words(s):
     """Per-edge (ztag, nonce_lo, nonce_hi) for the eager σ pipeline —
-    gathered lazily so virtual-σ products never build the [E] u64 arrays."""
+    gathered lazily so virtual-σ products never build the [E] u64 arrays.
+    Also returns the PROD-layer seed table [L-base, 3] and per-edge rows
+    into it (every product edge lives in a PROD grid layer, lid >= base),
+    so the σ dispatch can skip re-deduplicating the triples."""
     layers = s["layers"]
-    lz = np.array([L.seed.ztag for L in layers], dtype=np.uint64)
-    ll = np.array([L.seed.nonce.lo for L in layers], dtype=np.uint64)
-    lh = np.array([L.seed.nonce.hi for L in layers], dtype=np.uint64)
-    lid = s["out_lid"]
-    return lz[lid], ll[lid], lh[lid]
+    base = s.get("base", 0)
+    ltab = np.array(
+        [[L.seed.ztag, L.seed.nonce.lo, L.seed.nonce.hi]
+         for L in layers[base:]],
+        dtype=np.uint64,
+    ).reshape(len(layers) - base, 3)
+    lid = s["out_lid"] - base
+    trip = ltab[lid]
+    return trip[:, 0], trip[:, 1], trip[:, 2], ltab, lid
 
 
 def _ct_mul_stage_start(pk: PubKey, A: Cipher, B: Cipher):

@@ -502,10 +502,17 @@ def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
     idxs = np.concatenate(idxs).astype(np.uint64)
     chs = np.concatenate(chs).astype(np.uint64)
     salts = csprng_u64_array(len(idxs))
+    ltab = np.array(
+        [[p.seed.ztag, p.seed.nonce.lo, p.seed.nonce.hi] for p in plans],
+        dtype=np.uint64,
+    ).reshape(len(plans), 3)
+    lid = np.repeat(np.arange(len(plans)),
+                    np.diff(np.asarray(offsets)))
     fin = matrix.sigma_words_start(
         pk,
         np.concatenate(zt), np.concatenate(nlo), np.concatenate(nhi),
         idxs, chs, np.asarray(salts, dtype=np.uint64),
+        tab=(ltab, lid),
     )
 
     def finalize():

@@ -382,7 +382,8 @@ class DeviceEngine:
 
     SIGMA_CHUNK = 16384
 
-    def sigma(self, words: np.ndarray, device_resident: bool = True):
+    def sigma(self, words: np.ndarray, device_resident: bool = True,
+              tab=None):
         """Chunked σ generation: big batches run as repeats of one compiled
         8192-lane program plus one pow2-padded remainder call, instead of
         padding the whole batch to the next power of two.
@@ -407,8 +408,16 @@ class DeviceEngine:
             and (words[:, 4] < np.uint64(1024)).all()
             and (words[:, 5] < np.uint64(2)).all()
         ):
-            trips, lid = np.unique(words[:, 1:4], axis=0, return_inverse=True)
-            lid = lid.reshape(-1)  # numpy 2.0 returns [E, 1] for axis unique
+            if tab is not None:
+                # caller supplied the (layer seed table, per-edge row) pair
+                # it already owns — skip the structured-sort dedup, the
+                # single biggest host cost of a warm dispatch
+                trips = np.ascontiguousarray(tab[0], dtype=np.uint64)
+                lid = np.asarray(tab[1])
+            else:
+                trips, lid = np.unique(words[:, 1:4], axis=0,
+                                       return_inverse=True)
+                lid = lid.reshape(-1)  # numpy 2.0: [E, 1] for axis unique
             if trips.shape[0] < (1 << 21):
                 ltab = np.stack(
                     [(trips & np.uint64(0xFFFFFFFF)).astype(U32),

@@ -201,6 +201,7 @@ class VirtualSigma:
             ((packed >> np.uint32(1)) & np.uint32(0x3FF)).astype(np.uint64),
             (packed & np.uint32(1)).astype(np.uint64),
             salt,
+            tab=(self.ltab, lid),
         )
         return np.asarray(fin())
 
