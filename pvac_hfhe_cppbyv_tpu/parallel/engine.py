@@ -98,20 +98,34 @@ class DeviceEngine:
                  use_pallas: bool | None = None, mesh: Mesh | None = None):
         self.pk = pk
         self.prm = pk.prm
-        # Multi-chip mode: any mesh's devices are flattened into a 1-D "dp"
-        # axis — every engine program is lane-/edge-parallel with zero
-        # cross-lane dependencies, so GSPMD shards the batch axis over all
-        # chips with no collectives.  Key material (H, LPN secret, layer
-        # seed tables) is replicated.
+        # Multi-chip mode: a 1-D mesh (or any mesh passed with one axis)
+        # becomes a pure "dp" axis — every engine program is lane-/edge-
+        # parallel with zero cross-lane dependencies, so GSPMD shards the
+        # batch axis over all chips with no collectives and key material
+        # (H, LPN secret, layer seed tables) is replicated.
+        #
+        # A 2-D mesh is treated as ("dp", "tp") and additionally runs σ
+        # generation TENSOR-parallel: H lives column-sharded P(None, "tp")
+        # (each chip holds m_bits/tp of every H row) and the σ gather-XOR
+        # partitions over the word axis with zero collectives — the draw
+        # streams are recomputed per tp rank (cheap VPU work) while the
+        # HBM-heavy H traffic and σ residency split tp-ways.
         if mesh is not None:
-            devs = np.asarray(mesh.devices).reshape(-1)
-            self.mesh = Mesh(devs, axis_names=("dp",))
-            self.n_dev = devs.size
-            self.device = devs[0]
+            marr = np.asarray(mesh.devices)
+            if marr.ndim == 2 and marr.shape[1] > 1:
+                self.mesh = Mesh(marr, axis_names=("dp", "tp"))
+                self.tp = marr.shape[1]
+                self.n_dev = marr.shape[0]  # dp extent (lane padding)
+            else:
+                self.mesh = Mesh(marr.reshape(-1), axis_names=("dp",))
+                self.tp = 1
+                self.n_dev = marr.size
+            self.device = marr.reshape(-1)[0]
             self._repl = NamedSharding(self.mesh, P())
             self._dp = lambda *rest: NamedSharding(self.mesh, P("dp", *rest))
         else:
             self.mesh = None
+            self.tp = 1
             self.n_dev = 1
             self.device = device or jax.devices()[0]
         import os
@@ -139,11 +153,11 @@ class DeviceEngine:
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
         self.H_dev = (
-            self._put_repl(pk.H) if pk.H is not None else None
+            self._put_H(pk.H) if pk.H is not None else None
         )
         # H with an extra all-zero row: masked σ gathers index it freely
         self.Hx_dev = (
-            self._put_repl(
+            self._put_H(
                 np.concatenate(
                     [pk.H, np.zeros((1, pk.H.shape[1]), dtype=pk.H.dtype)]
                 )
@@ -173,6 +187,19 @@ class DeviceEngine:
         if self.mesh is not None:
             return jax.device_put(arr, self._repl)
         return jax.device_put(arr, self.device)
+
+    def _put_H(self, arr):
+        """H placement: column-sharded over the tp axis when one exists
+        (each chip holds m_bits/tp of every row), replicated otherwise."""
+        if self.mesh is not None and self.tp > 1:
+            return jax.device_put(
+                arr, NamedSharding(self.mesh, P(None, "tp")))
+        return self._put_repl(arr)
+
+    @property
+    def _wsp(self):
+        """σ word-axis partition: 'tp' on a 2-D mesh, else unsharded."""
+        return "tp" if self.tp > 1 else None
 
     def _jit(self, fn, in_specs=None, out_specs=None):
         """jit pinned to the engine's device, or GSPMD-sharded over the dp
@@ -296,8 +323,8 @@ class DeviceEngine:
 
         fn = self._jit(
             run,
-            in_specs=(P(None, None), P("dp", None, None)),
-            out_specs=(P("dp", None), P("dp")),
+            in_specs=(P(None, self._wsp), P("dp", None, None)),
+            out_specs=(P("dp", self._wsp), P("dp")),
         )
         self._sigma_fn_cache[n_pad] = fn
         return fn
@@ -373,9 +400,9 @@ class DeviceEngine:
 
         fn = self._jit(
             run,
-            in_specs=(P(None, None), P(None), P(None, None, None),
+            in_specs=(P(None, self._wsp), P(None), P(None, None, None),
                       P("dp", None)),
-            out_specs=(P("dp", None), P("dp")),
+            out_specs=(P("dp", self._wsp), P("dp")),
         )
         self._sigma_fn_cache[key] = fn
         return fn

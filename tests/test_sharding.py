@@ -167,3 +167,35 @@ def test_mesh_engine_real_ops_roundtrip(mesh_keys):
     finally:
         pk._engine = eng
     assert vals_host == vals
+
+
+def test_mesh_engine_sigma_is_tensor_parallel(mesh_keys):
+    """On a 2-D (dp, tp) mesh the engine holds H column-sharded over tp
+    and produces σ sharded over BOTH axes — real tensor parallelism in a
+    real op, with zero collectives (each chip gathers its own word slice
+    of the selected H rows)."""
+    from jax.sharding import PartitionSpec as P
+
+    pk, sk, eng = mesh_keys
+    assert eng.tp == 4 and eng.n_dev == 2  # make_mesh(8) -> (dp=2, tp=4)
+    spec = eng.Hx_dev.sharding.spec
+    assert tuple(spec) == (None, "tp"), spec
+
+    from pvac_hfhe_cppbyv_tpu.crypto import matrix
+
+    E = 40
+    rng = np.random.default_rng(17)
+    sig_job = matrix.sigma_words_start(
+        pk,
+        rng.integers(0, 1 << 62, E, dtype=np.uint64),
+        rng.integers(0, 1 << 62, E, dtype=np.uint64),
+        rng.integers(0, 1 << 62, E, dtype=np.uint64),
+        rng.integers(0, pk.prm.B, E, dtype=np.uint64),
+        rng.integers(0, 2, E, dtype=np.uint64),
+        rng.integers(0, 1 << 62, E, dtype=np.uint64),
+    )
+    sig = sig_job.sig  # device-resident, pre-fetch
+    # the word axis stays tp-sharded end to end (the lane axis of this
+    # tiny remainder batch may be replicated by the post-jit slice)
+    sspec = tuple(sig.sharding.spec)
+    assert sspec and sspec[-1] == "tp", sspec
