@@ -97,3 +97,20 @@ def test_bounty_r2_no_edge_pair_reveals_R2(small_keys):
                 continue
             assert ws[i] != ws[j]
             assert F.fp_add(ws[i], ws[j]) != 0
+
+
+def test_sk_bitflip_garbles_decrypt(small_keys):
+    """bounty_test.cpp:339-348 fault-injection sanity: flipping ONE bit of
+    the LPN secret must garble decryption (every R-core derives from the
+    full secret through the PRF)."""
+    import copy
+
+    pk, sk = small_keys
+    ct = pvac.enc_value(pk, sk, 31337)
+    assert pvac.dec_value(pk, sk, ct) == 31337
+
+    sk_bad = copy.deepcopy(sk)
+    sk_bad.lpn_s_bits = list(sk.lpn_s_bits)
+    sk_bad.lpn_s_bits[0] ^= 1 << 7  # flip LPN secret bit 7
+    got = pvac.dec_value(pk, sk_bad, ct)
+    assert got != 31337
