@@ -324,6 +324,17 @@ class SecKey:
     prf_k: list[int]            # 4 u64
     lpn_s_bits: list[int]       # u64 words, lpn_n bits
 
+    def __deepcopy__(self, memo):
+        # Derived caches (_s32) must NOT survive a copy: the copy exists to
+        # be mutated (e.g. fault-injection tests flipping secret bits), and
+        # a stale packed secret would silently decrypt with the old key.
+        import copy
+
+        return SecKey(
+            prf_k=copy.deepcopy(self.prf_k, memo),
+            lpn_s_bits=copy.deepcopy(self.lpn_s_bits, memo),
+        )
+
     def s_words32(self) -> np.ndarray:
         cached = getattr(self, "_s32", None)
         if cached is None:
