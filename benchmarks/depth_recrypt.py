@@ -84,6 +84,8 @@ def main():
     out = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "engine": "host (numpy + native C++: AES-NI, SHA-NI)",
+        "sigma_eager_max": int(os.environ.get("PVAC_SIGMA_EAGER_MAX",
+                                              str(1 << 21))),
         "steps": steps,
         "recrypt_every": every if use_recrypt else 0,
         "evalkey_pool": pool,
@@ -92,8 +94,9 @@ def main():
         "all_ok": int(all(r["ok"] for r in rows) and len(rows) == steps),
         "rows": rows,
     }
+    name = "depth_recrypt.json" if use_recrypt else "depth_chain_virtual.json"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "depth_recrypt.json")
+        os.path.abspath(__file__))), "docs", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
