@@ -94,7 +94,13 @@ def main():
         "all_ok": int(all(r["ok"] for r in rows) and len(rows) == steps),
         "rows": rows,
     }
-    name = "depth_recrypt.json" if use_recrypt else "depth_chain_virtual.json"
+    virt = int(os.environ.get("PVAC_SIGMA_EAGER_MAX", str(1 << 21))) < (1 << 21)
+    if not use_recrypt:
+        name = "depth_chain_virtual.json"
+    elif virt:
+        name = "depth_recrypt_virtual.json"
+    else:
+        name = "depth_recrypt.json"
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", name)
     with open(path, "w") as f:

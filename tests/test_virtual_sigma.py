@@ -115,3 +115,31 @@ def test_virtual_matches_eager_distribution(small_keys, monkeypatch):
         vs.salt,
     )
     np.testing.assert_array_equal(np.asarray(fin()), sig_v)
+
+
+def test_density_sample_tracks_exact(small_keys, virtual_everything):
+    pk, sk = small_keys
+    prod = pvac.ct_mul(pk, *pvac.enc_value_batch(pk, sk, [17, 19]))
+    assert isinstance(prod.sigma, VirtualSigma)
+    exact = sigma_density(pk, prod)
+    est = prod.sigma.density_sample(max_rows=64)  # strided subsample
+    assert abs(est - exact) < 0.02
+
+
+def test_recrypt_stays_virtual_without_materializing(small_keys,
+                                                     virtual_everything,
+                                                     monkeypatch):
+    """recrypt.hpp:26-41 on a recipe-backed product: the balance check
+    samples density instead of generating every row, the loop is skipped
+    (fresh pseudorandom sigma sits at ~0.5), and the result keeps its
+    virtual sigma through compaction."""
+    from pvac_hfhe_cppbyv_tpu.ops import recrypt as rc
+
+    pk, sk = small_keys
+    prod = pvac.ct_mul(pk, *pvac.enc_value_batch(pk, sk, [21, 2]))
+    assert isinstance(prod.sigma, VirtualSigma)
+    monkeypatch.setattr(rc, "VSIGMA_SAMPLE_MIN", 100)
+    ek = rc.make_evalkey(pk, sk, 2, 1)
+    out = rc.ct_recrypt(pk, ek, prod)
+    assert isinstance(out.sigma, VirtualSigma)
+    assert pvac.dec_value(pk, sk, out) == 42 % pvac.P
