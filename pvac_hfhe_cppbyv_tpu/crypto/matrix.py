@@ -210,24 +210,93 @@ class SigmaJob:
         self.fb = fb
 
     def _apply_fallbacks(self, fbh: np.ndarray):
-        prm, pk = self.prm, self.pk
         if fbh.any():
             sig = np.asarray(self.sig)
             for e in np.nonzero(fbh)[0]:
-                w = [int(self.words[e, j]) for j in range(7)]
-                c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits,
-                                           Dom.X_SEED, w)
-                nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits,
-                                            Dom.NOISE, w)
-                v = np.bitwise_xor.reduce(pk.H[c], axis=0)
-                for rr in nn:
-                    v[rr // 32] ^= U32(1 << (rr % 32))
-                sig[e] = v
+                sig[e] = _scalar_sigma_row(self.pk, self.prm, self.words[e])
             self.sig = sig
         return self.sig
 
     def __call__(self):
         return self._apply_fallbacks(np.asarray(self.fb))
+
+
+def _scalar_sigma_row(pk, prm, wrow) -> np.ndarray:
+    """Reference-exact σ for one edge via the scalar draw path
+    (fallback for lanes the vectorized overshoot window couldn't serve)."""
+    w = [int(wrow[j]) for j in range(7)]
+    c = shactr.choose_k_scalar(prm.x_col_wt, prm.n_bits, Dom.X_SEED, w)
+    nn = shactr.choose_k_scalar(prm.err_wt, prm.m_bits, Dom.NOISE, w)
+    v = np.bitwise_xor.reduce(pk.H[c], axis=0)
+    for rr in nn:
+        v[rr // 32] ^= U32(1 << (rr % 32))
+    return v
+
+
+class SigmaFallbackFixer:
+    """Deferred fallback patching for a set of dispatched σ jobs whose
+    outputs are concatenated (in job order) into one LazySigma base.
+
+    The fallback flags are NOT fetched at creation — producers return
+    device-resident σ with zero synchronization, and the single flag fetch
+    (a full round trip on a tunneled link) happens lazily on the first σ
+    materialization.  Flagged lanes (bounded rejection or overshoot
+    exhaustion in the vectorized draws — both vanishingly rare) are then
+    recomputed with the reference-exact scalar path and patched into the
+    materialized rows."""
+
+    __slots__ = ("jobs", "offs", "_patches")
+
+    def __init__(self, jobs):
+        self.jobs = jobs
+        offs = [0]
+        for j in jobs:
+            offs.append(offs[-1] + j.words.shape[0])
+        self.offs = offs
+        self._patches = None
+
+    def _resolve(self) -> dict:
+        if self._patches is None:
+            fbs = [j.fb for j in self.jobs]
+            if any(not isinstance(f, np.ndarray) for f in fbs):
+                import jax.numpy as jnp
+
+                cat = np.asarray(
+                    jnp.concatenate(fbs) if len(fbs) > 1 else fbs[0]
+                )
+            else:
+                cat = np.concatenate(fbs) if len(fbs) > 1 else fbs[0]
+            patches = {}
+            for j, off in zip(self.jobs, self.offs):
+                n = j.words.shape[0]
+                for e in np.nonzero(cat[off : off + n])[0]:
+                    patches[off + int(e)] = _scalar_sigma_row(
+                        j.pk, j.prm, j.words[e]
+                    )
+            self._patches = patches
+        return self._patches
+
+    def __call__(self, out: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        patches = self._resolve()
+        if not patches:
+            return out
+        pr = np.fromiter(patches.keys(), dtype=np.int64)
+        hits = np.nonzero(np.isin(rows, pr))[0]
+        if hits.size:
+            if not out.flags.writeable:
+                out = out.copy()
+            for i in hits:
+                out[i] = patches[int(rows[i])]
+        return out
+
+
+def sigma_deferred(jobs: list["SigmaJob"]):
+    """Zero-synchronization finalize: per-job σ bases (device-resident on
+    the engine path, unpatched) plus a shared :class:`SigmaFallbackFixer`
+    to hand to the LazySigma views over their concatenation.  Host-path
+    jobs (fb already an ndarray) still participate — their flags cost
+    nothing to read and the fixer handles them uniformly."""
+    return [j.sig for j in jobs], SigmaFallbackFixer(jobs)
 
 
 def sigma_finalize_many(jobs: list["SigmaJob"]) -> list:

@@ -131,13 +131,19 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         _dispatch(pend_n)
 
     counts = [0 if "vsigma" in s else len(s["out_lid"]) for s in staged]
+    fixer = None
     if sum(counts):
-        parts = matrix.sigma_finalize_many([fin for fin, _ in finals])
-        if any(not isinstance(p, np.ndarray) for p in parts):
+        jobs = [fin for fin, _ in finals]
+        if any(not isinstance(j.sig, np.ndarray) for j in jobs):
+            # device σ: return immediately with NO flag fetch — the single
+            # round-trip synchronization moves into the LazySigma fixup,
+            # paid only if/when σ is actually materialized on the host
+            parts, fixer = matrix.sigma_deferred(jobs)
             import jax.numpy as jnp
 
             sig_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         else:
+            parts = matrix.sigma_finalize_many(jobs)
             sig_all = parts[0] if len(parts) == 1 else np.concatenate(parts)
     out = []
     off = 0
@@ -152,7 +158,7 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
         else:
             # lazy view: no eager device slice (compile churn + round trips
             # on a high-latency link); σ materializes only if read on host
-            sig = LazySigma(sig_all, np.arange(off, off + n))
+            sig = LazySigma(sig_all, np.arange(off, off + n), fixer)
         off += n
         C = Cipher(
             s["layers"],

@@ -68,7 +68,7 @@ def _concat_sigma(a, b):
 
     if (isinstance(a, LazySigma) and isinstance(b, LazySigma)
             and a.base is b.base):
-        return LazySigma(a.base, np.concatenate([a.rows, b.rows]))
+        return LazySigma(a.base, np.concatenate([a.rows, b.rows]), a.fixup)
     if isinstance(a, VirtualSigma) and isinstance(b, VirtualSigma):
         return concat_virtual_sigma([a, b])
     return np.concatenate([np.asarray(a), np.asarray(b)])
@@ -516,7 +516,13 @@ def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
     )
 
     def finalize():
-        return fin(), offsets
+        if not isinstance(fin.sig, np.ndarray):
+            # device σ: skip the fallback-flag fetch (a full link round
+            # trip); the LazySigma fixup patches the rare fallback lanes
+            # lazily on first materialization
+            parts, fixer = matrix.sigma_deferred([fin])
+            return parts[0], offsets, fixer
+        return fin(), offsets, None
 
     return finalize
 
@@ -582,12 +588,12 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     sig_fin = _sigma_for_plans_start(pk, plans)
     cores = np.asarray(prf_fin(), dtype=U32)
     weights = _weights_from_cores_batch(pk, plans, cores, spans)
-    sig_all, offsets = sig_fin()
+    sig_all, offsets, fixer = sig_fin()
     if isinstance(sig_all, np.ndarray):
         views = [sig_all[offsets[i] : offsets[i + 1]] for i in range(len(plans))]
     else:
         views = [
-            LazySigma(sig_all, np.arange(offsets[i], offsets[i + 1]))
+            LazySigma(sig_all, np.arange(offsets[i], offsets[i + 1]), fixer)
             for i in range(len(plans))
         ]
     out = []

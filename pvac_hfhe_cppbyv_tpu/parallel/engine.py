@@ -177,6 +177,14 @@ class DeviceEngine:
         self._prf_fn_cache = {}
         self._sigma_fn_cache = {}
         self._mulgrid = None
+        # One-deep σ dispatch pipeline: a handle on the previous σ batch's
+        # last chunk, waited on before the NEXT batch dispatches.  Callers
+        # (enc/mul) return without synchronizing on σ at all — the wait
+        # surfaces here, overlapped with the caller's host staging of the
+        # next batch.  Unbounded queueing is actively harmful on the
+        # tunneled device link (measured: 8 undrained 256-product batches
+        # run 3x slower than 8 throttled ones), so depth 1 it is.
+        self._sigma_pending = None
 
     # ------------------------------------------------------------------
     # placement helpers (single-device vs dp mesh)
@@ -425,6 +433,16 @@ class DeviceEngine:
             mw = self.prm.sigma_words32
             return np.zeros((0, mw), dtype=U32), np.zeros(0, dtype=bool)
 
+        # pipeline throttle: wait for the PREVIOUS σ batch before enqueuing
+        # this one (a tiny dependent fetch — block_until_ready does not
+        # actually block on the tunneled backend)
+        pend, self._sigma_pending = self._sigma_pending, None
+        if pend is not None:
+            try:
+                np.asarray(pend)
+            except Exception:
+                pass
+
         # Compact transfer form: the (ztag, nonce_lo, nonce_hi) triple is
         # per-layer (few distinct values per batch); ship the deduplicated
         # seed table + one packed u32 and a u64 salt per edge.
@@ -485,6 +503,10 @@ class DeviceEngine:
         fb = fbs[0] if len(fbs) == 1 else jnp.concatenate(fbs, axis=0)
         if not device_resident:
             sig = np.asarray(sig)
+        else:
+            # tiny handle depending on the LAST dispatched chunk: fetched by
+            # the next sigma() call (or dropped if σ is consumed first)
+            self._sigma_pending = fbs[-1][:1]
         return sig, fb  # fb stays device-resident; callers fetch when needed
 
     def _sigma_compact_padded(self, ltab_dev, u_pad: int, buf: np.ndarray):

@@ -86,13 +86,20 @@ class LazySigma:
     XLA compile and a round trip.  ``np.asarray`` materializes by gathering
     only the referenced rows on device and fetching them in one transfer.
     Ops that never read σ (decrypt, ct_mul staging) never pay anything.
+
+    ``fixup`` (optional) is a callable ``(out, rows) -> out`` applied at
+    materialization: it patches the vanishingly-rare scalar-fallback lanes
+    (bounded rejection / overshoot exhaustion in the vectorized draws),
+    letting producers skip the fallback-flag fetch — a full device round
+    trip — at creation time (crypto/matrix.py sigma_deferred).
     """
 
-    __slots__ = ("base", "rows")
+    __slots__ = ("base", "rows", "fixup")
 
-    def __init__(self, base, rows):
+    def __init__(self, base, rows, fixup=None):
         self.base = base
         self.rows = np.asarray(rows, dtype=np.int64)
+        self.fixup = fixup
 
     @property
     def shape(self):
@@ -107,13 +114,13 @@ class LazySigma:
 
     def __getitem__(self, key):
         if isinstance(key, slice):
-            return LazySigma(self.base, self.rows[key])
+            return LazySigma(self.base, self.rows[key], self.fixup)
         if isinstance(key, np.ndarray) and key.dtype != np.bool_:
-            return LazySigma(self.base, self.rows[key])
+            return LazySigma(self.base, self.rows[key], self.fixup)
         return np.asarray(self)[key]
 
     def copy(self) -> "LazySigma":
-        return LazySigma(self.base, self.rows.copy())
+        return LazySigma(self.base, self.rows.copy(), self.fixup)
 
     def __array__(self, dtype=None, copy=None):
         if self.rows.shape[0] == 0:
@@ -125,6 +132,8 @@ class LazySigma:
                                       axis=0))
         else:
             out = np.asarray(self.base)[self.rows]
+        if self.fixup is not None and self.rows.shape[0]:
+            out = self.fixup(out, self.rows)
         if dtype is not None:
             out = out.astype(dtype)
         return out

@@ -140,3 +140,47 @@ def test_engine_lazy_sigma_mixing(eng_keys):
     np.testing.assert_array_equal(
         lazy, np.concatenate([eager_a, eager_b])
     )
+
+
+def test_deferred_fallback_fixer_patches_rows(eng_keys):
+    """sigma_deferred returns device σ with no flag fetch; a forced
+    fallback lane must be patched with the reference-exact scalar σ at
+    materialization time (and only that lane)."""
+    pk, sk, eng = eng_keys
+    E = 6
+    rng = np.random.default_rng(23)
+    words = np.zeros((E, 7), dtype=np.uint64)
+    words[:, 0] = pk.canon_tag
+    words[:, 1] = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    words[:, 2] = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    words[:, 3] = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+    words[:, 4] = rng.integers(0, pk.prm.B, E, dtype=np.uint64)
+    words[:, 5] = rng.integers(0, 2, E, dtype=np.uint64)
+    words[:, 6] = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+
+    job = matrix.sigma_words_start(
+        pk, words[:, 1], words[:, 2], words[:, 3],
+        words[:, 4], words[:, 5], words[:, 6],
+    )
+    clean = np.asarray(job.sig).copy()
+    # force one "fallback" lane: corrupt its vectorized output and flag it
+    fb = np.zeros(E, dtype=bool)
+    fb[3] = True
+    corrupted = clean.copy()
+    corrupted[3] ^= 0xDEADBEEF
+    job.sig = corrupted
+    job.fb = fb
+
+    bases, fixer = matrix.sigma_deferred([job])
+    assert fixer._patches is None  # nothing fetched yet
+    out = LazySigma(bases[0], np.arange(E), fixer)
+    got = np.asarray(out)
+    want3 = matrix._scalar_sigma_row(pk, pk.prm, words[3])
+    np.testing.assert_array_equal(got[3], want3)
+    mask = np.ones(E, dtype=bool)
+    mask[3] = False
+    np.testing.assert_array_equal(got[mask], corrupted[mask])
+    # row-subset views patch consistently too
+    sub = np.asarray(out[np.array([3, 1])])
+    np.testing.assert_array_equal(sub[0], want3)
+    np.testing.assert_array_equal(sub[1], corrupted[1])
