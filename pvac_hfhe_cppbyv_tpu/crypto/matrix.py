@@ -274,6 +274,10 @@ class SigmaFallbackFixer:
                         j.pk, j.prm, j.words[e]
                     )
             self._patches = patches
+            # The patches carry everything needed from here on; release the
+            # jobs so their device σ buffers and host word tables are not
+            # pinned for the lifetime of every derived LazySigma.
+            self.jobs = None
         return self._patches
 
     def __call__(self, out: np.ndarray, rows: np.ndarray) -> np.ndarray:

@@ -29,6 +29,130 @@ def ct_add(pk: PubKey, A: Cipher, B: Cipher) -> Cipher:
     return combine_ciphers(pk, A, B)
 
 
+def ct_add_batch(pk: PubKey,
+                 pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]:
+    """Batched ct_add (reference op: arithmetic.hpp:12-31, one call per
+    pair there).  Semantically identical to ``[ct_add(pk, a, b) for ...]``;
+    the per-pair Python/numpy dispatch overhead (the one op where this
+    framework trailed the single-threaded reference) amortizes by doing
+    ONE concatenate per edge column across the whole batch and handing each
+    output a zero-copy view."""
+    from ..types import StackedSigma
+
+    hostish = (np.ndarray, StackedSigma)
+    fast = all(
+        isinstance(a.sigma, hostish) and isinstance(b.sigma, hostish)
+        for a, b in pairs
+    )
+    if not fast:
+        return [ct_add(pk, a, b) for a, b in pairs]
+    lid_parts, idx_parts, ch_parts, w_parts, sg_parts = [], [], [], [], []
+    layers_list, sizes, part_off, part_sz = [], [], [], []
+    # Per-input caches keyed by id(): pairs lists routinely repeat the same
+    # ciphertexts, and the PROD scan / Layer copies are per-INPUT work.
+    has_prod: dict[int, bool] = {}
+
+    def _prodp(c):
+        v = has_prod.get(id(c))
+        if v is None:
+            v = any(L.rule == RRULE_PROD for L in c.layers)
+            has_prod[id(c)] = v
+        return v
+
+    for a, b in pairs:
+        la, lb = a.layers, b.layers
+        off = len(la)
+        # BASE Layer objects are immutable in practice and safe to share;
+        # PROD layers get pa/pb rewritten by compact_layers, so copy them.
+        al = (
+            [Layer(L.rule, L.seed, L.pa, L.pb)
+             if L.rule == RRULE_PROD else L for L in la]
+            if _prodp(a) else la
+        )
+        bl = (
+            [Layer(L.rule, L.seed, L.pa + off, L.pb + off)
+             if L.rule == RRULE_PROD else L for L in lb]
+            if _prodp(b) else lb
+        )
+        layers_list.append(al + bl)
+        na = a.layer_id.shape[0]
+        nb = b.layer_id.shape[0]
+        lid_parts.append(a.layer_id)
+        lid_parts.append(b.layer_id)
+        part_off.append(0)
+        part_off.append(off)
+        part_sz.append(na)
+        part_sz.append(nb)
+        idx_parts.append(a.idx)
+        idx_parts.append(b.idx)
+        ch_parts.append(a.ch)
+        ch_parts.append(b.ch)
+        w_parts.append(a.w)
+        w_parts.append(b.w)
+        # σ stays zero-copy: [A.sigma; B.sigma] as a StackedSigma view
+        # (the 1 KB/edge memcpy at default Params was ct_add's entire cost)
+        sa = a.sigma.parts if isinstance(a.sigma, StackedSigma) else [a.sigma]
+        sb = b.sigma.parts if isinstance(b.sigma, StackedSigma) else [b.sigma]
+        sg_parts.append(StackedSigma(sa + sb))
+        sizes.append(na + nb)
+    starts = np.zeros(len(pairs) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    lid_all = np.concatenate(lid_parts)
+    lid_all += np.repeat(np.asarray(part_off, dtype=np.int32),
+                         part_sz).astype(np.int32)
+    idx_all = np.concatenate(idx_parts)
+    ch_all = np.concatenate(ch_parts)
+    w_all = np.concatenate(w_parts)
+    # Batch-wide layer-liveness precheck: compact_layers (mandatory per the
+    # reference, arithmetic.hpp:29) is a no-op whenever every layer is
+    # directly edge-referenced.  One bincount over globalized layer ids
+    # decides that for ALL pairs at once.
+    lcounts = np.array([len(ls) for ls in layers_list], dtype=np.int64)
+    lstarts = np.zeros(len(pairs) + 1, dtype=np.int64)
+    np.cumsum(lcounts, out=lstarts[1:])
+    gid = lid_all + np.repeat(lstarts[:-1], sizes)
+    alive = np.bincount(gid, minlength=int(lstarts[-1])) > 0
+    if (lcounts == 0).any():  # degenerate empty cts: reduceat can't segment
+        all_live = np.zeros(len(pairs), dtype=bool)
+    else:
+        all_live = np.logical_and.reduceat(alive, lstarts[:-1])
+    budget = pk.prm.edge_budget
+    out = []
+    new = Cipher.__new__
+    for i in range(len(pairs)):
+        s, e = starts[i], starts[i + 1]
+        C = new(Cipher)  # raw init: columns are known-typed views
+        C.layers = layers_list[i]
+        C.layer_id = lid_all[s:e]
+        C.idx = idx_all[s:e]
+        C.ch = ch_all[s:e]
+        C.w = w_all[s:e]
+        C.sigma = sg_parts[i]
+        if sizes[i] > budget:
+            guard_budget(pk, C, "add")
+        if not all_live[i]:
+            compact_layers(C)
+        out.append(C)
+    return out
+
+
+def ct_sub_batch(pk: PubKey,
+                 pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]:
+    """Batched ct_sub = ct_add_batch with every B negated in ONE field
+    multiply across the batch (reference: arithmetic.hpp:43-45)."""
+    if not pairs:
+        return []
+    bw = np.concatenate([b.w for _, b in pairs])
+    neg1 = np.broadcast_to(FV.from_ints([F.P - 1])[0], bw.shape)
+    bw_neg = np.split(FV.mul(bw, neg1),
+                      np.cumsum([b.n_edges for _, b in pairs])[:-1])
+    negs = []
+    for (a, b), wn in zip(pairs, bw_neg):
+        nb = Cipher(b.layers, b.layer_id, b.idx, b.ch, wn, b.sigma)
+        negs.append((a, nb))
+    return ct_add_batch(pk, negs)
+
+
 def ct_scale(pk: PubKey, A: Cipher, s: int) -> Cipher:
     """Multiply every edge weight by a scalar (arithmetic.hpp:33-37)."""
     C = A.copy()

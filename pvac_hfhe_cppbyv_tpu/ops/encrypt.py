@@ -64,13 +64,19 @@ def sigma_density(pk: PubKey, C: Cipher) -> float:
 def _concat_sigma(a, b):
     """Concatenate two σ matrices, staying lazy/virtual/on-device when
     possible (np.concatenate on a device operand would silently fetch it)."""
-    from ..types import VirtualSigma, concat_virtual_sigma
+    from ..types import StackedSigma, VirtualSigma, concat_virtual_sigma
 
     if (isinstance(a, LazySigma) and isinstance(b, LazySigma)
-            and a.base is b.base):
+            and a.base is b.base and a.fixup is b.fixup):
         return LazySigma(a.base, np.concatenate([a.rows, b.rows]), a.fixup)
     if isinstance(a, VirtualSigma) and isinstance(b, VirtualSigma):
         return concat_virtual_sigma([a, b])
+    if isinstance(a, (StackedSigma, np.ndarray)) and isinstance(
+            b, (StackedSigma, np.ndarray)) and (
+            isinstance(a, StackedSigma) or isinstance(b, StackedSigma)):
+        pa = a.parts if isinstance(a, StackedSigma) else [a]
+        pb = b.parts if isinstance(b, StackedSigma) else [b]
+        return StackedSigma(pa + pb)
     return np.concatenate([np.asarray(a), np.asarray(b)])
 
 
@@ -146,8 +152,15 @@ def compact_layers(C: Cipher) -> None:
     L = C.n_layers
     if L == 0:
         return
-    used = np.zeros(L, dtype=bool)
     lids = np.unique(C.layer_id)
+    if lids.size == L and lids[0] == 0 and lids[-1] == L - 1:
+        # sorted unique ids covering exactly 0..L-1: every layer is directly
+        # referenced by an edge, so the GC below is a no-op — skip it.  This
+        # is the common case (every op producer compacts before returning),
+        # and it makes ct_add's mandatory compact_layers call (reference
+        # arithmetic.hpp:29) nearly free.
+        return
+    used = np.zeros(L, dtype=bool)
     used[lids[lids < L]] = True
     rules = np.fromiter((Lr.rule for Lr in C.layers), dtype=np.int8, count=L)
     pa = np.fromiter((Lr.pa for Lr in C.layers), dtype=np.int64, count=L)

@@ -440,8 +440,16 @@ class DeviceEngine:
         if pend is not None:
             try:
                 np.asarray(pend)
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                # The throttle fetch is advisory (its only job is pacing),
+                # but a failure here usually means the previous σ batch's
+                # program died — surface it instead of losing the trace.
+                import warnings
+
+                warnings.warn(
+                    f"previous sigma batch failed during throttle wait: {e!r}",
+                    RuntimeWarning, stacklevel=2,
+                )
 
         # Compact transfer form: the (ztag, nonce_lo, nonce_hi) triple is
         # per-layer (few distinct values per batch); ship the deduplicated

@@ -139,6 +139,49 @@ class LazySigma:
         return out
 
 
+class StackedSigma:
+    """Zero-copy host σ view: an ordered list of row-block arrays whose
+    vertical stack IS the σ matrix.
+
+    ct_add's output σ is exactly [A.sigma; B.sigma] (reference
+    arithmetic.hpp:25-26) — 1 KB/edge of memcpy at default Params, which
+    dominated ct_add's cost.  This view makes add/sub pure metadata ops;
+    consumers that need the bits (serialization, commit, compaction,
+    metrics) materialize via ``np.asarray``.  Parts are treated as
+    immutable — producers hand in arrays they will not mutate."""
+
+    __slots__ = ("parts", "_n")
+
+    def __init__(self, parts):
+        self.parts = parts
+        self._n = sum(int(p.shape[0]) for p in parts)
+
+    @property
+    def shape(self):
+        mw = self.parts[0].shape[1] if self.parts else 0
+        return (self._n, mw)
+
+    @property
+    def dtype(self):
+        return np.uint32
+
+    def __len__(self):
+        return self._n
+
+    def copy(self):
+        return StackedSigma(list(self.parts))
+
+    def __getitem__(self, key):
+        return np.asarray(self)[key]
+
+    def __array__(self, dtype=None, copy=None):
+        out = (np.concatenate([np.asarray(p) for p in self.parts])
+               if self.parts else np.zeros((0, 0), dtype=np.uint32))
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        return out
+
+
 class VirtualSigma:
     """Recipe-backed σ: per-edge generation inputs instead of the bits.
 
@@ -302,7 +345,7 @@ class Cipher:
             self.sigma = (
                 sigma
                 if mod.startswith("jax")
-                or isinstance(sigma, (LazySigma, VirtualSigma))
+                or isinstance(sigma, (LazySigma, VirtualSigma, StackedSigma))
                 else np.asarray(sigma, dtype=np.uint32)
             )
 

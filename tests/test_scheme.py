@@ -36,6 +36,42 @@ class TestBasics:
         b = pvac.enc_value(pk, sk, 17)
         assert pvac.dec_value(pk, sk, pvac.ct_mul(pk, a, b)) == 714
 
+    def test_add_sub_batch(self, keys):
+        """ct_add_batch/ct_sub_batch are bit-exact vs the per-pair ops,
+        compose (adds of adds, PROD-layer inputs), and serialize."""
+        pk, sk = keys
+        cts = pvac.enc_value_batch(pk, sk, list(range(6)))
+        prod = pvac.ct_mul(pk, cts[0], cts[1])  # PROD layers in the mix
+        pairs = [(cts[i % 6], cts[(i + 1) % 6]) for i in range(8)]
+        pairs += [(prod, cts[2]), (cts[3], prod)]
+        outs = pvac.ct_add_batch(pk, pairs)
+        for (a, b), C in zip(pairs, outs):
+            R = pvac.ct_add(pk, a, b)
+            assert np.array_equal(C.layer_id, R.layer_id)
+            assert np.array_equal(C.idx, R.idx)
+            assert np.array_equal(C.ch, R.ch)
+            assert np.array_equal(C.w, R.w)
+            assert np.array_equal(np.asarray(C.sigma), np.asarray(R.sigma))
+            assert len(C.layers) == len(R.layers)
+        # nested: outputs (StackedSigma) feed back in as inputs
+        c2 = pvac.ct_add_batch(pk, [(outs[0], outs[1]), (outs[2], prod)])
+        assert pvac.dec_value(pk, sk, c2[0]) == (0 + 1 + 1 + 2) % P
+        assert pvac.dec_value(pk, sk, c2[1]) == (2 + 3 + 0 * 1) % P
+        subs = pvac.ct_sub_batch(pk, pairs)
+        for (a, b), C in zip(pairs, subs):
+            want = (pvac.dec_value(pk, sk, a)
+                    - pvac.dec_value(pk, sk, b)) % P
+            assert pvac.dec_value(pk, sk, C) == want
+        # stacked σ roundtrips through the wire format
+        import io as _io  # noqa: F401
+        from pvac_hfhe_cppbyv_tpu.io import serial
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "t.ct")
+            serial.save_cts([c2[0]], path)
+            got = serial.load_cts(path)[0]
+            assert pvac.dec_value(pk, sk, got) == (0 + 1 + 1 + 2) % P
+
     def test_identities(self, keys):
         pk, sk = keys
         x = pvac.enc_value(pk, sk, 999)
