@@ -178,7 +178,7 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
     bucket sums) of product i+1 overlaps the device σ generation of the
     edges staged so far.  σ work is dispatched in exact SIGMA_CHUNK-lane
     slices (no per-product padding); the remainder pads once at the end."""
-    CH = 8192
+    CH = 16384
     staged = []
     pend = []          # per-product (zt, nlo, nhi, idx, ch, salt) blocks
     pend_n = 0
