@@ -2,26 +2,21 @@
 """Benchmark: homomorphic op throughput on the attached accelerator.
 
 Primary metric: ct_mul operations/second (fresh x fresh, default Params,
-real end-to-end products incl. σ regeneration), vs the reference C++
-implementation's measured 155 ms/op (BASELINE.md) => baseline 6.45 ops/s.
+real end-to-end products incl. σ regeneration, timed with the device σ
+queue fully drained), vs the reference C++ implementation's measured
+155 ms/op (BASELINE.md) => baseline 6.45 ops/s.
 
-Also measured and reported on stderr: enc_value ct/s (reference ~12.5/s)
-and batched dec_value ct/s (reference ~58/s).
+Prints exactly ONE JSON line on stdout — and is built to ALWAYS print it
+(signal handlers + wall-budget guard emit the best-so-far metric).
 
-Prints exactly ONE JSON line on stdout — and is built to ALWAYS print it:
-
-- enc/dec are measured first on the host engine (numpy + native C++ with
-  AES-NI), which is faster than shipping those latency-bound ops over the
-  device link and carries zero compile/link risk;
-- all device risk (backend init ~45 s, jit compiles, the known-flaky
-  tunnel) is concentrated in the final ct_mul phase, run under a watchdog;
-- SIGTERM/SIGINT handlers and a self-imposed wall budget
-  (PVAC_BENCH_BUDGET, default 480 s) emit the best-so-far metric before
-  exit, so an external timeout still records whatever finished.
+Every completed phase logs a diagnostics record — link RTT, compile vs run
+split, every rep's wall time — and the whole run is appended to
+docs/bench_history.json, so published numbers always trace to an artifact.
 """
 import json
 import os
 import signal
+import subprocess
 import sys
 import threading
 import time
@@ -30,14 +25,47 @@ import numpy as np
 
 T0 = time.time()
 RESULTS = {}
+DIAG = {"phases": {}}
 _emitted = threading.Event()
 
 BASE_MUL = 6.45   # reference ct_mul ops/s (155 ms/op, BASELINE.md)
 BASE_ENC = 12.5   # reference enc_value ct/s (~80 ms/op)
 
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "docs", "bench_history.json")
+
 
 def log(*a):
     print(f"[{time.time()-T0:6.1f}s]", *a, file=sys.stderr, flush=True)
+
+
+def _append_history(obj: dict) -> None:
+    """Append this run's record to docs/bench_history.json (best effort)."""
+    try:
+        hist = []
+        if os.path.exists(HISTORY):
+            with open(HISTORY) as f:
+                hist = json.load(f)
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except Exception:
+            rev = ""
+        hist.append({
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "git": rev,
+            "emitted": obj,
+            "results": {k: round(v, 3) for k, v in RESULTS.items()},
+            "diag": DIAG,
+        })
+        with open(HISTORY, "w") as f:
+            json.dump(hist, f, indent=1)
+        log(f"appended run record to {HISTORY}")
+    except Exception as e:  # noqa: BLE001
+        log(f"history append failed: {e!r}")
 
 
 def emit(status: str) -> None:
@@ -62,8 +90,11 @@ def emit(status: str) -> None:
     else:
         obj = {"metric": "ct_mul_throughput", "value": 0.0, "unit": "ops/s",
                "vs_baseline": 0.0}
+    DIAG["status"] = status
+    DIAG["wall_s"] = round(time.time() - T0, 1)
     print(json.dumps(obj), flush=True)
     log(f"emitted ({status}):", obj)
+    _append_history(obj)
 
 
 def _on_signal(signum, frame):
@@ -108,13 +139,18 @@ def phase(name: str, fn, timeout: float):
     t0 = time.time()
     th.start()
     th.join(timeout)
+    rec = DIAG["phases"].setdefault(name, {})
+    rec["wall_s"] = round(time.time() - t0, 2)
     if th.is_alive():
         log(f"phase {name}: TIMED OUT after {time.time()-t0:.0f}s")
+        rec["outcome"] = "timeout"
         return None
     if "err" in box:
         log(f"phase {name}: FAILED: {box['err']!r}")
+        rec["outcome"] = f"error: {box['err']!r}"[:300]
         return None
     log(f"phase {name}: done in {time.time()-t0:.1f}s")
+    rec["outcome"] = "ok"
     return box.get("val", True)
 
 
@@ -128,15 +164,18 @@ def main():
     quick = os.environ.get("PVAC_BENCH_QUICK") == "1"
     prm = pvac.small_test_params() if quick else pvac.Params()
 
-    # best-of-2: the shared VM host has multi-second noise spikes; min is
+    # min-of-reps: the shared VM host has multi-second noise spikes; min is
     # the honest estimate of the op's cost (same spirit as the reference's
-    # bench_us min-of-reps harness, tests/test_main.cpp:137-143).
+    # bench_us min-of-reps harness, tests/test_main.cpp:137-143).  All reps
+    # are recorded in the diagnostics for variance inspection.
     t0 = time.time()
     pk, sk = pvac.keygen(prm)
     kg1 = time.time() - t0
     t0 = time.time()
     pk, sk = pvac.keygen(prm)
     RESULTS["keygen_s"] = min(kg1, time.time() - t0)
+    DIAG["phases"]["keygen"] = {"first_s": round(kg1, 2),
+                                "warm_s": round(time.time() - t0, 2)}
     log(f"keygen: {RESULTS['keygen_s']:.1f}s (first {kg1:.1f}s)")
 
     # ---- host-engine phases: no JAX backend, no link risk ----
@@ -145,14 +184,17 @@ def main():
 
     t0 = time.time()
     cts = pvac.enc_value_batch(pk, sk, vals)
-    log(f"enc warmup (host): {time.time()-t0:.1f}s")
-    reps = 2 if quick else 3
-    best = float("inf")
-    for _ in range(reps):
+    enc_compile = time.time() - t0
+    reps = []
+    for _ in range(2 if quick else 3):
         t0 = time.time()
         cts = pvac.enc_value_batch(pk, sk, vals)
-        best = min(best, time.time() - t0)
-    RESULTS["enc_per_s"] = ENC_BATCH / best
+        reps.append(time.time() - t0)
+    RESULTS["enc_per_s"] = ENC_BATCH / min(reps)
+    DIAG["phases"]["enc-host"] = {
+        "warmup_s": round(enc_compile, 2), "batch": ENC_BATCH,
+        "reps_s": [round(r, 3) for r in reps],
+    }
     log(f"enc_value: {RESULTS['enc_per_s']:.1f} ct/s (host) "
         f"(ref ~{BASE_ENC}/s -> {RESULTS['enc_per_s']/BASE_ENC:.1f}x)")
 
@@ -163,13 +205,29 @@ def main():
         log("ERROR: decrypt mismatch on host path!")
         emit("host decrypt mismatch")
         return
-    best = float("inf")
+    reps = []
     for _ in range(2):
         t0 = time.time()
         pvac.dec_value_batch(pk, sk, cts)
-        best = min(best, time.time() - t0)
-    RESULTS["dec_per_s"] = ENC_BATCH / best
+        reps.append(time.time() - t0)
+    RESULTS["dec_per_s"] = ENC_BATCH / min(reps)
+    DIAG["phases"]["dec-host"] = {
+        "warmup_s": round(dec_warm, 2), "batch": ENC_BATCH,
+        "reps_s": [round(r, 3) for r in reps],
+    }
     log(f"dec_value: {RESULTS['dec_per_s']:.1f} ct/s (host, warm {dec_warm:.1f}s)")
+
+    # batch add (the one op that trailed the reference before round 4)
+    add_pairs = [(cts[i % ENC_BATCH], cts[(i + 1) % ENC_BATCH])
+                 for i in range(64)]
+    pvac.ct_add_batch(pk, add_pairs)
+    t0 = time.time()
+    for _ in range(10):
+        pvac.ct_add_batch(pk, add_pairs)
+    add_us = (time.time() - t0) / 10 / len(add_pairs) * 1e6
+    RESULTS["add_us"] = add_us
+    DIAG["phases"]["add-host"] = {"batch": 64, "amortized_us": round(add_us, 2)}
+    log(f"ct_add: {add_us:.1f} us/op amortized (batch 64; ref 6.7 us)")
 
     # ---- device phase: ct_mul (the headline metric) ----
     MUL_BATCH = 8 if quick else 64
@@ -196,15 +254,28 @@ def main():
         log(f"device: {dev}")
         import jax.numpy as jnp
 
-        (jax.device_put(jnp.arange(16), dev) * 2).block_until_ready()
+        x = jax.device_put(jnp.arange(16), dev)
+        np.asarray(x * 2)
+        # link round-trip probe: how much any synchronized call costs
+        rtts = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(x + 1)
+            rtts.append(time.time() - t0)
+        DIAG["link_rtt_ms"] = {
+            "min": round(min(rtts) * 1e3, 1),
+            "median": round(sorted(rtts)[len(rtts) // 2] * 1e3, 1),
+            "max": round(max(rtts) * 1e3, 1),
+        }
+        log(f"link RTT: {DIAG['link_rtt_ms']}")
 
         # The device link (a network tunnel under the axon platform) can
         # wedge when idle; a tiny periodic op keeps it alive.
         def _keepalive():
-            x = jax.device_put(jnp.arange(8), dev)
+            y = jax.device_put(jnp.arange(8), dev)
             while True:
                 try:
-                    (x + 1).block_until_ready()
+                    (y + 1).block_until_ready()
                 except Exception:
                     pass
                 time.sleep(3.0)
@@ -217,19 +288,34 @@ def main():
         enable_device(pk, sk, device=dev)
         return dev
 
-    def run_mul(batch_pairs):
+    def _engine():
+        return getattr(pk, "_engine", None)
+
+    def run_mul(batch_pairs, tag):
+        eng = _engine()
         t0 = time.time()
         prods = pvac.ct_mul_batch(pk, batch_pairs)
+        if eng is not None:
+            eng.drain()
         warm = time.time() - t0
-        best = float("inf")
+        # honest timing: the window covers N reps PLUS a full σ-queue
+        # drain, so no in-flight device work escapes the clock.
+        reps = []
         for _ in range(2):
             t0 = time.time()
             prods = pvac.ct_mul_batch(pk, batch_pairs)
-            best = min(best, time.time() - t0)
-        per_s = len(batch_pairs) / best
+            if eng is not None:
+                eng.drain()
+            reps.append(time.time() - t0)
+        per_s = len(batch_pairs) / min(reps)
         got = pvac.dec_value_batch(pk, sk, prods[:2])
         if got != mul_want:
             raise AssertionError(f"ct_mul decrypt mismatch {got} != {mul_want}")
+        DIAG["phases"][tag] = {
+            "batch": len(batch_pairs), "warmup_s": round(warm, 2),
+            "reps_s": [round(r, 3) for r in reps],
+            "ops_per_s": round(per_s, 2), "drained": eng is not None,
+        }
         return per_s, warm
 
     remaining = BUDGET - (time.time() - T0)
@@ -245,17 +331,13 @@ def main():
         MUL_BATCH = 2 if quick else 4
         pairs = pairs[:MUL_BATCH]
 
-    # ct_mul is the HEADLINE metric and the sigma/PRF kernel compiles are
-    # not persistently cacheable on the axon backend (~25-130 s fresh,
-    # host-noise dependent) — so it runs FIRST, with the lion's share of
-    # the budget, before any other device phase can poison the process
-    # with an abandoned compiling thread.
+    # ct_mul is the HEADLINE metric; it runs FIRST with the lion's share of
+    # the budget, before any other device phase can poison the process.
     remaining = BUDGET - (time.time() - T0)
-    out = phase("ct_mul", lambda: run_mul(pairs),
+    out = phase("ct_mul", lambda: run_mul(pairs, "ct_mul"),
                 max(60.0, remaining - (120 if device_ok else 30)))
     if out is None and device_ok:
-        # device wedged mid-phase (the tunnel can stall for minutes under
-        # cross-process contention): measure the all-host engine instead —
+        # device wedged mid-phase: measure the all-host engine instead —
         # native cross aggregation + native σ XOR still beat the reference
         log("ct_mul device phase failed; falling back to the host engine")
         from pvac_hfhe_cppbyv_tpu.parallel.engine import disable_device
@@ -264,31 +346,29 @@ def main():
         device_ok = False
         pairs = pairs[: (2 if quick else 16)]
         remaining = BUDGET - (time.time() - T0)
-        out = phase("ct_mul-host", lambda: run_mul(pairs),
+        out = phase("ct_mul-host", lambda: run_mul(pairs, "ct_mul-host"),
                     max(30.0, remaining - 30))
     if out is not None:
         RESULTS["mul_per_s"], warm = out
         log(f"ct_mul: {RESULTS['mul_per_s']:.2f} ops/s (warmup {warm:.1f}s) "
             f"(ref {BASE_MUL}/s -> {RESULTS['mul_per_s']/BASE_MUL:.1f}x)")
-        # amortization sweep: bigger batches amortize the per-dispatch link
-        # latency over more products (shapes are per-pair, so no recompile).
-        # Keep doubling while it still pays and the wall budget allows.
-        factor = 4
-        while device_ok and not quick:
+        # batch sweep to 512: bigger batches amortize per-dispatch overhead
+        # (shapes are per-pair, so no recompile).  Runs to 512 before
+        # settling unless the budget stops it.
+        factor = 2
+        while device_ok and not quick and factor * MUL_BATCH <= 512:
             remaining = BUDGET - (time.time() - T0)
             if remaining <= 90:
+                log(f"batch sweep stopped by budget at x{factor}")
                 break
             big = (pairs * factor)[: factor * MUL_BATCH]
-            out2 = phase(f"ct_mul-x{factor}", lambda: run_mul(big),
-                         remaining - 60)
+            tag = f"ct_mul-x{factor}"
+            out2 = phase(tag, lambda: run_mul(big, tag), remaining - 60)
             if out2 is None:
                 break
             log(f"ct_mul (batch {len(big)}): {out2[0]:.2f} ops/s")
-            gain = out2[0] / RESULTS["mul_per_s"] - 1.0
             if out2[0] > RESULTS["mul_per_s"]:
                 RESULTS["mul_per_s"] = out2[0]
-            if gain < 0.05 or factor >= 16:
-                break
             factor *= 2
 
     if device_ok and RESULTS.get("mul_per_s"):
@@ -298,10 +378,17 @@ def main():
         def run_enc_device():
             nb = 64 if quick else 256
             dvals = list(range(nb))
+            t0 = time.time()
             pvac.enc_value_batch(pk, sk, dvals)  # warm/compile
+            warm = time.time() - t0
             t0 = time.time()
             pvac.enc_value_batch(pk, sk, dvals)
-            return nb / (time.time() - t0)
+            dt = time.time() - t0
+            DIAG["phases"]["enc-device"] = {
+                "batch": nb, "warmup_s": round(warm, 2),
+                "reps_s": [round(dt, 3)],
+            }
+            return nb / dt
 
         remaining = BUDGET - (time.time() - T0)
         if remaining > 120:

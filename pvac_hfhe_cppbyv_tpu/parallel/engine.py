@@ -507,6 +507,15 @@ class DeviceEngine:
     # In-flight σ chunk bound (~8 MB device output each at default Params).
     SIGMA_QUEUE_DEPTH = 12
 
+    def drain(self) -> None:
+        """Wait for every queued σ chunk (the queue is in-order, so waiting
+        on the newest completes them all).  Benchmarks call this so a timed
+        window cannot hide still-in-flight σ work."""
+        if self._sigma_queue:
+            last = self._sigma_queue[-1]
+            self._sigma_queue.clear()
+            np.asarray(last)
+
     def _throttle(self) -> None:
         """Bound the σ dispatch queue: wait on the OLDEST outstanding chunk
         (never the newest — that would drain the whole in-order queue and
