@@ -162,7 +162,8 @@ def sigma_words_start(pk: PubKey, ztag, nonce_lo, nonce_hi, idx, ch, salt,
     words[:, 6] = salt
     engine = getattr(pk, "_engine", None)
     if engine is not None and engine.H_dev is not None:
-        sig, fb = engine.sigma(words, tab=tab)
+        sig, fb, rows = engine.sigma(words, tab=tab)
+        return SigmaJob(pk, prm, words, sig, fb, rows)
     else:
         from .. import native
 
@@ -198,27 +199,48 @@ class SigmaJob:
     """A dispatched σ batch: device-resident (sig, fb) plus the host word
     fields needed for scalar fallback recomputation.  Callable for
     single-job use; :func:`sigma_finalize_many` fetches many jobs' fallback
-    flags in one device round trip."""
+    flags in one device round trip.
 
-    __slots__ = ("pk", "prm", "words", "sig", "fb")
+    On the engine path sig/fb keep the dispatch padding and ``rows``
+    (host int64) indexes the valid lanes (engine.sigma docstring explains
+    why); host-path jobs have exact arrays and ``rows is None``."""
 
-    def __init__(self, pk, prm, words, sig, fb):
+    __slots__ = ("pk", "prm", "words", "sig", "fb", "rows")
+
+    def __init__(self, pk, prm, words, sig, fb, rows=None):
         self.pk = pk
         self.prm = prm
         self.words = words
         self.sig = sig
         self.fb = fb
+        self.rows = rows
+
+    @property
+    def n_pad(self) -> int:
+        """Length of the (possibly padded) sig/fb arrays."""
+        return int(self.sig.shape[0])
+
+    def _valid_fb(self, fb_padded: np.ndarray) -> np.ndarray:
+        return fb_padded if self.rows is None else fb_padded[self.rows]
 
     def _apply_fallbacks(self, fbh: np.ndarray):
-        if fbh.any():
+        """fbh: fallback flags in VALID-lane coordinates [E]."""
+        if not isinstance(self.sig, np.ndarray) or self.rows is not None:
             sig = np.asarray(self.sig)
-            for e in np.nonzero(fbh)[0]:
-                sig[e] = _scalar_sigma_row(self.pk, self.prm, self.words[e])
+            if self.rows is not None:
+                sig = sig[self.rows]
             self.sig = sig
+            self.rows = None
+        if fbh.any():
+            if not self.sig.flags.writeable:
+                self.sig = self.sig.copy()
+            for e in np.nonzero(fbh)[0]:
+                self.sig[e] = _scalar_sigma_row(
+                    self.pk, self.prm, self.words[e])
         return self.sig
 
     def __call__(self):
-        return self._apply_fallbacks(np.asarray(self.fb))
+        return self._apply_fallbacks(self._valid_fb(np.asarray(self.fb)))
 
 
 def _scalar_sigma_row(pk, prm, wrow) -> np.ndarray:
@@ -243,7 +265,10 @@ class SigmaFallbackFixer:
     materialization.  Flagged lanes (bounded rejection or overshoot
     exhaustion in the vectorized draws — both vanishingly rare) are then
     recomputed with the reference-exact scalar path and patched into the
-    materialized rows."""
+    materialized rows.
+
+    All row bookkeeping is in BASE coordinates — the concatenation of the
+    jobs' (possibly padded) sig arrays, matching the LazySigma base."""
 
     __slots__ = ("jobs", "offs", "_patches")
 
@@ -251,7 +276,7 @@ class SigmaFallbackFixer:
         self.jobs = jobs
         offs = [0]
         for j in jobs:
-            offs.append(offs[-1] + j.words.shape[0])
+            offs.append(offs[-1] + j.n_pad)
         self.offs = offs
         self._patches = None
 
@@ -268,9 +293,11 @@ class SigmaFallbackFixer:
                 cat = np.concatenate(fbs) if len(fbs) > 1 else fbs[0]
             patches = {}
             for j, off in zip(self.jobs, self.offs):
-                n = j.words.shape[0]
-                for e in np.nonzero(cat[off : off + n])[0]:
-                    patches[off + int(e)] = _scalar_sigma_row(
+                fbj = j._valid_fb(cat[off : off + j.n_pad])
+                for e in np.nonzero(fbj)[0]:
+                    base_row = off + (int(e) if j.rows is None
+                                      else int(j.rows[e]))
+                    patches[base_row] = _scalar_sigma_row(
                         j.pk, j.prm, j.words[e]
                     )
             self._patches = patches
@@ -296,11 +323,22 @@ class SigmaFallbackFixer:
 
 def sigma_deferred(jobs: list["SigmaJob"]):
     """Zero-synchronization finalize: per-job σ bases (device-resident on
-    the engine path, unpatched) plus a shared :class:`SigmaFallbackFixer`
-    to hand to the LazySigma views over their concatenation.  Host-path
-    jobs (fb already an ndarray) still participate — their flags cost
-    nothing to read and the fixer handles them uniformly."""
-    return [j.sig for j in jobs], SigmaFallbackFixer(jobs)
+    the engine path, padded, unpatched) plus a shared
+    :class:`SigmaFallbackFixer` and the BASE-coordinate valid-row indices
+    [E_total] to hand to the LazySigma views over their concatenation.
+    Host-path jobs (fb already an ndarray) still participate — their flags
+    cost nothing to read and the fixer handles them uniformly."""
+    row_parts = []
+    off = 0
+    for j in jobs:
+        row_parts.append(
+            off + (np.arange(j.n_pad, dtype=np.int64)
+                   if j.rows is None else j.rows)
+        )
+        off += j.n_pad
+    rows = (np.concatenate(row_parts) if row_parts
+            else np.zeros(0, dtype=np.int64))
+    return [j.sig for j in jobs], SigmaFallbackFixer(jobs), rows
 
 
 def sigma_finalize_many(jobs: list["SigmaJob"]) -> list:
@@ -315,7 +353,7 @@ def sigma_finalize_many(jobs: list["SigmaJob"]) -> list:
         cat = np.asarray(jnp.concatenate([j.fb for j in dev_jobs]))
         off = 0
         for j in dev_jobs:
-            n = j.words.shape[0]
+            n = j.n_pad
             j.fb = cat[off : off + n]
             off += n
     return [j() for j in jobs]

@@ -256,13 +256,14 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
 
     counts = [0 if "vsigma" in s else len(s["out_lid"]) for s in staged]
     fixer = None
+    vrows = None
     if sum(counts):
         jobs = [fin for fin, _ in finals]
         if any(not isinstance(j.sig, np.ndarray) for j in jobs):
             # device σ: return immediately with NO flag fetch — the single
             # round-trip synchronization moves into the LazySigma fixup,
             # paid only if/when σ is actually materialized on the host
-            parts, fixer = matrix.sigma_deferred(jobs)
+            parts, fixer, vrows = matrix.sigma_deferred(jobs)
             import jax.numpy as jnp
 
             sig_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
@@ -281,8 +282,9 @@ def ct_mul_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]
             sig = sig_all[off : off + n]
         else:
             # lazy view: no eager device slice (compile churn + round trips
-            # on a high-latency link); σ materializes only if read on host
-            sig = LazySigma(sig_all, np.arange(off, off + n), fixer)
+            # on a high-latency link); σ materializes only if read on host.
+            # vrows maps valid-edge order -> rows of the padded base.
+            sig = LazySigma(sig_all, vrows[off : off + n], fixer)
         off += n
         C = Cipher(
             s["layers"],

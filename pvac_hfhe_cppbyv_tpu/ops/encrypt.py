@@ -533,9 +533,9 @@ def _sigma_for_plans_start(pk: PubKey, plans: list[_LayerPlan]):
             # device σ: skip the fallback-flag fetch (a full link round
             # trip); the LazySigma fixup patches the rare fallback lanes
             # lazily on first materialization
-            parts, fixer = matrix.sigma_deferred([fin])
-            return parts[0], offsets, fixer
-        return fin(), offsets, None
+            parts, fixer, vrows = matrix.sigma_deferred([fin])
+            return parts[0], offsets, fixer, vrows
+        return fin(), offsets, None, None
 
     return finalize
 
@@ -601,12 +601,12 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     sig_fin = _sigma_for_plans_start(pk, plans)
     cores = np.asarray(prf_fin(), dtype=U32)
     weights = _weights_from_cores_batch(pk, plans, cores, spans)
-    sig_all, offsets, fixer = sig_fin()
+    sig_all, offsets, fixer, vrows = sig_fin()
     if isinstance(sig_all, np.ndarray):
         views = [sig_all[offsets[i] : offsets[i + 1]] for i in range(len(plans))]
     else:
         views = [
-            LazySigma(sig_all, np.arange(offsets[i], offsets[i + 1]), fixer)
+            LazySigma(sig_all, vrows[offsets[i] : offsets[i + 1]], fixer)
             for i in range(len(plans))
         ]
     out = []

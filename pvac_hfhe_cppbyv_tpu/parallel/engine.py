@@ -423,21 +423,28 @@ class DeviceEngine:
 
     SIGMA_CHUNK = 16384
 
-    def sigma(self, words: np.ndarray, device_resident: bool = True,
-              tab=None):
+    def sigma(self, words: np.ndarray, tab=None):
         """Chunked σ generation: big batches run as repeats of one compiled
-        8192-lane program plus one pow2-padded remainder call, instead of
+        16384-lane program plus one pow2-padded remainder call, instead of
         padding the whole batch to the next power of two.
 
         All chunks are dispatched back-to-back with no host sync in between
-        (the device link's ~30 ms round trip would otherwise dominate); the
-        fallback flags come back in a single fetch at the end.
+        (the device link's ~30 ms round trip would otherwise dominate).
+
+        Returns ``(sig, fb, rows)`` where sig/fb keep each chunk's PADDED
+        lanes and ``rows`` (host int64 [E]) indexes the valid lanes.  The
+        padding is deliberately NOT sliced off on device: edge counts
+        jitter batch to batch, so a device-side ``[:E]`` slice compiles a
+        fresh tiny XLA program (~0.4 s on this backend) for every novel E —
+        a recurring compile tax that dominated warm encryption batches.
+        Consumers gather ``rows`` host-side at materialization instead.
         """
         E = words.shape[0]
         C = self.SIGMA_CHUNK * self.n_dev
         if E == 0:
             mw = self.prm.sigma_words32
-            return np.zeros((0, mw), dtype=U32), np.zeros(0, dtype=bool)
+            return (np.zeros((0, mw), dtype=U32), np.zeros(0, dtype=bool),
+                    np.zeros(0, dtype=np.int64))
 
         # Compact transfer form: the (ztag, nonce_lo, nonce_hi) triple is
         # per-layer (few distinct values per batch); ship the deduplicated
@@ -485,8 +492,11 @@ class DeviceEngine:
 
         sigs = []
         fbs = []
+        row_parts = []
+        pad_off = 0
         for off in range(0, E, C):
             self._throttle()
+            n_valid = min(C, E - off)
             if compact is not None:
                 ltab_dev, u_pad, buf = compact
                 s, f = self._sigma_compact_padded(
@@ -496,13 +506,14 @@ class DeviceEngine:
                 s, f = self._sigma_padded(words[off : off + C])
             sigs.append(s)
             fbs.append(f)
+            row_parts.append(pad_off + np.arange(n_valid, dtype=np.int64))
+            pad_off += int(s.shape[0])
             self._sigma_queue.append(f[:1])
         sig = sigs[0] if len(sigs) == 1 else jnp.concatenate(sigs, axis=0)
         fb = fbs[0] if len(fbs) == 1 else jnp.concatenate(fbs, axis=0)
-        if not device_resident:
-            sig = np.asarray(sig)
-            self._sigma_queue.clear()
-        return sig, fb  # fb stays device-resident; callers fetch when needed
+        rows = (row_parts[0] if len(row_parts) == 1
+                else np.concatenate(row_parts))
+        return sig, fb, rows  # device-resident; callers fetch when needed
 
     # In-flight σ chunk bound (~8 MB device output each at default Params).
     SIGMA_QUEUE_DEPTH = 12
@@ -536,20 +547,23 @@ class DeviceEngine:
                 )
 
     def _sigma_compact_padded(self, ltab_dev, u_pad: int, buf: np.ndarray):
+        """One padded chunk -> PADDED (sig [n_pad, mw], fb [n_pad]); valid
+        lanes are the first buf.shape[0] (no device-side slice — see
+        :meth:`sigma`)."""
         E = buf.shape[0]
         n_pad = self._pad_lanes(E)
         bp = buf
         if n_pad != E:
             bp = np.zeros((n_pad, 3), dtype=U32)
             bp[:E] = buf
-        sig, fb = self._sigma_compact_fn(n_pad, u_pad)(
+        return self._sigma_compact_fn(n_pad, u_pad)(
             self.Hx_dev, self._canon2, ltab_dev, jnp.asarray(bp)
         )
-        return sig[:E], fb[:E]
 
     def _sigma_padded(self, words: np.ndarray):
-        """words [E, 7] uint64 (σ stream fields) -> (σ [E, mw] uint32,
-        fallback [E] bool), both device-resident jax arrays (no host sync).
+        """words [E, 7] uint64 (σ stream fields) -> PADDED (σ [n_pad, mw]
+        uint32, fallback [n_pad] bool), both device-resident jax arrays
+        (no host sync, no device-side slice — see :meth:`sigma`).
 
         σ stays on the accelerator; consumers that need host bytes
         (serialization, edge compaction) convert lazily.  Decryption and
@@ -565,8 +579,7 @@ class DeviceEngine:
              (wp >> np.uint64(32)).astype(U32)],
             axis=-1,
         )
-        sig, fb = self._sigma_fn(n_pad)(self.Hx_dev, jnp.asarray(lanes))
-        return sig[:E], fb[:E]
+        return self._sigma_fn(n_pad)(self.Hx_dev, jnp.asarray(lanes))
 
 
 def enable_device(pk: PubKey, sk: SecKey | None = None, device=None,

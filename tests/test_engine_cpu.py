@@ -66,18 +66,21 @@ def test_engine_sigma_compact_form(eng_keys):
     words[:, 5] = rng.integers(0, 2, E, dtype=np.uint64)
     words[:, 6] = rng.integers(0, 1 << 62, E, dtype=np.uint64)
 
-    sig_compact, fb1 = eng.sigma(words.copy())
+    sig_compact, fb1, rows = eng.sigma(words.copy())
     # break the canon_tag precondition -> expanded path, then fix field 0
     w2 = words.copy()
     sig_exp, fb2 = eng._sigma_padded(w2)
-    np.testing.assert_array_equal(np.asarray(sig_compact), np.asarray(sig_exp))
+    np.testing.assert_array_equal(
+        np.asarray(sig_compact)[rows], np.asarray(sig_exp)[:E]
+    )
 
 
 def test_engine_sigma_empty_batch(eng_keys):
     pk, sk, eng = eng_keys
-    sig, fb = eng.sigma(np.zeros((0, 7), dtype=np.uint64))
+    sig, fb, rows = eng.sigma(np.zeros((0, 7), dtype=np.uint64))
     assert sig.shape == (0, pk.prm.sigma_words32)
     assert np.asarray(fb).shape == (0,)
+    assert rows.shape == (0,)
 
 
 def test_engine_prf_cores_match_host(eng_keys):
@@ -162,25 +165,30 @@ def test_deferred_fallback_fixer_patches_rows(eng_keys):
         pk, words[:, 1], words[:, 2], words[:, 3],
         words[:, 4], words[:, 5], words[:, 6],
     )
-    clean = np.asarray(job.sig).copy()
+    clean = np.asarray(job.sig).copy()  # padded on the engine path
     # force one "fallback" lane: corrupt its vectorized output and flag it
-    fb = np.zeros(E, dtype=bool)
-    fb[3] = True
+    # (fb stays in padded coordinates, job.rows maps valid -> padded)
+    fb = np.zeros(job.n_pad, dtype=bool)
+    row3 = 3 if job.rows is None else int(job.rows[3])
+    fb[row3] = True
     corrupted = clean.copy()
-    corrupted[3] ^= 0xDEADBEEF
+    corrupted[row3] ^= 0xDEADBEEF
     job.sig = corrupted
     job.fb = fb
 
-    bases, fixer = matrix.sigma_deferred([job])
+    bases, fixer, vrows = matrix.sigma_deferred([job])
     assert fixer._patches is None  # nothing fetched yet
-    out = LazySigma(bases[0], np.arange(E), fixer)
+    assert len(vrows) == E
+    out = LazySigma(bases[0], vrows, fixer)
     got = np.asarray(out)
+    assert got.shape[0] == E
     want3 = matrix._scalar_sigma_row(pk, pk.prm, words[3])
     np.testing.assert_array_equal(got[3], want3)
+    valid = corrupted[vrows]
     mask = np.ones(E, dtype=bool)
     mask[3] = False
-    np.testing.assert_array_equal(got[mask], corrupted[mask])
+    np.testing.assert_array_equal(got[mask], valid[mask])
     # row-subset views patch consistently too
     sub = np.asarray(out[np.array([3, 1])])
     np.testing.assert_array_equal(sub[0], want3)
-    np.testing.assert_array_equal(sub[1], corrupted[1])
+    np.testing.assert_array_equal(sub[1], valid[1])
