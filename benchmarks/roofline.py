@@ -87,7 +87,15 @@ def measure_link_rt(dev):
 def bench(fn, *args, reps=20, warm=2):
     """Per-call seconds: dispatch reps calls back-to-back (device executes
     in order), fetch one element of the last output, subtract the link
-    round-trip, divide by reps."""
+    round-trip, divide by reps.
+
+    Inputs are device_put FIRST — round 3 timed kernels on host numpy
+    arguments, so big-operand rows (fieldv.mul: 32 MB/call) measured the
+    27 MB/s tunnel transfer, not the kernel (the "886K muls/s / 0.02%
+    VPU" row the round-3 verdict flagged)."""
+    args = [
+        jax.device_put(a) if isinstance(a, np.ndarray) else a for a in args
+    ]
     out = None
     for _ in range(warm):
         out = fn(*args)
@@ -116,6 +124,18 @@ def row(name, seconds, unit, units_per_call, flops, nbytes, bound_peak,
         note=""):
     ops_s = flops / seconds if flops else 0.0
     bw = nbytes / seconds if nbytes else 0.0
+    hbm_pct = round(100 * bw / PEAK_HBM, 2) if nbytes else None
+    if hbm_pct is not None and hbm_pct > 100:
+        # cost_analysis bytes are the XLA cost MODEL's un-fused traffic
+        # estimate, not a hardware counter; a fused executable moves less.
+        # >100% of peak is physically impossible, so report the model's
+        # overestimate explicitly instead of an impossible utilization.
+        note = (note + "; " if note else "") + (
+            f"cost-model bytes exceed wall-time HBM capacity ({hbm_pct}% "
+            "of peak) -> fusion eliminated most of that traffic; HBM% "
+            "not reportable for this row")
+        hbm_pct = None
+        bw = 0.0
     return {
         "kernel": name,
         "time_ms": round(seconds * 1e3, 3),
@@ -126,7 +146,7 @@ def row(name, seconds, unit, units_per_call, flops, nbytes, bound_peak,
         "achieved_ops_per_s": ops_s,
         "achieved_GBps": round(bw / 1e9, 1),
         "util_compute_pct": round(100 * ops_s / bound_peak, 2) if flops else None,
-        "util_hbm_pct": round(100 * bw / PEAK_HBM, 2) if nbytes else None,
+        "util_hbm_pct": hbm_pct,
         "note": note,
     }
 
@@ -231,6 +251,47 @@ def main():
                     f"{N} lanes: keystream + {prm.lpn_t}-row parity + conv127"))
 
     # ------------------------------------------------------------------
+    # 3b. Full σ program (SHA draws + dedup + H gather-XOR + noise bits)
+    # — the ct_mul throughput limiter; measured as marginal QUEUED chunk
+    # cost (the engine pipelines chunks, so per-chunk sync would measure
+    # the link, not the kernel)
+    # ------------------------------------------------------------------
+    try:
+        from pvac_hfhe_cppbyv_tpu.parallel.engine import DeviceEngine
+
+        pk, sk = pvac.keygen(prm)
+        eng = DeviceEngine(pk, sk, device=dev)
+        eng.use_pallas_sha = autotune["use_pallas_sha"]
+        Es = eng.SIGMA_CHUNK
+        words = np.zeros((Es, 7), dtype=np.uint64)
+        words[:, 0] = np.uint64(pk.canon_tag)
+        words[:, 1:4] = rng.integers(0, 1 << 63, (Es, 3), dtype=np.uint64)
+        words[:, 4] = rng.integers(0, prm.B, Es, dtype=np.uint64)
+        words[:, 5] = rng.integers(0, 2, Es, dtype=np.uint64)
+        words[:, 6] = rng.integers(0, 1 << 63, Es, dtype=np.uint64)
+
+        def sig_once():
+            s, f, r = eng.sigma(words)
+            return f
+
+        sig_once()  # compile
+        eng.drain()
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sig_once()
+        eng.drain()
+        t_sig = max(time.perf_counter() - t0 - _LINK_RT[0], 1e-9) / reps
+        rows.append(row(
+            "sigma_program(16K edges)", t_sig, "edges/s", Es, 0.0, 0.0,
+            PEAK_VPU_U32,
+            "marginal queued chunk: 2 SHA-CTR streams + dedup + "
+            f"{prm.x_col_wt} H-row gather-XOR + {prm.err_wt} noise bits "
+            "per edge; queue drained inside the timed window"))
+    except Exception as e:  # noqa: BLE001
+        log(f"  sigma program row unavailable: {e!r}")
+
+    # ------------------------------------------------------------------
     # 4. fieldv multiply (the F_p workhorse)
     # ------------------------------------------------------------------
     from pvac_hfhe_cppbyv_tpu.core import fieldv as FV
@@ -304,6 +365,15 @@ def main():
         "",
         "Ceilings assumed (TPU v5e): MXU 394e12 int8 ops/s, VPU 3.85e12 u32 "
         "lane-ops/s (8x128 lanes x 4 ALUs x 0.94 GHz), HBM 819 GB/s.",
+        "",
+        "Methodology: kernel inputs are device-resident (host->device "
+        "transfer excluded), reps dispatched back-to-back with one final "
+        "fetch, measured link round-trip subtracted.  'XLA ops/s' and "
+        "'HBM GB/s' derive from XLA **cost-model** flops/bytes (an "
+        "un-fused upper bound on traffic, not a hardware counter): rows "
+        "where the model's bytes exceed what the wall time could move "
+        "report no HBM% and say so in the note instead of an impossible "
+        "number.",
         "",
         "| kernel | time | throughput | XLA ops/s | HBM GB/s | % compute | "
         "% HBM | binds on | note |",

@@ -198,6 +198,16 @@ def _xor_reduce_last(x):
     return x[..., 0]
 
 
+def _parity_fold(x):
+    """Per-element parity of a uint32 array (branch-free fold)."""
+    x = x ^ (x >> U32(16))
+    x = x ^ (x >> U32(8))
+    x = x ^ (x >> U32(4))
+    x = x ^ (x >> U32(2))
+    x = x ^ (x >> U32(1))
+    return x & U32(1)
+
+
 def cores_from_streams(u64s, top_u, s32_flat, prm):
     """Shared core math: AES keystreams -> prf_R_core field elements.
 
@@ -218,13 +228,51 @@ def cores_from_streams(u64s, top_u, s32_flat, prm):
     s32 = s32_flat.reshape(sw64, 2)
     acc = rows_u & s32[None, None, :, :]
     x = _xor_reduce_last(acc.reshape(N, rows, 2 * sw64))
-    x = x ^ (x >> U32(16))
-    x = x ^ (x >> U32(8))
-    x = x ^ (x >> U32(4))
-    x = x ^ (x >> U32(2))
-    x = x ^ (x >> U32(1))
-    dot = x & U32(1)  # [N, rows]
+    dot = _parity_fold(x)  # [N, rows]
 
+    return _cores_tail(xp, dot, u64s, top_u, prm, rows, sw64)
+
+
+def cores_from_streams_tp(u64s, top_u, s32_local, prm, axis_name="tp"):
+    """Tensor-parallel cores_from_streams for use inside a shard_map body.
+
+    The LPN secret contraction — the hottest HBM read of the whole scheme
+    (SURVEY.md §6) — splits over the mesh axis ``axis_name``: each rank
+    holds ``s_words64 / tp`` secret words (s32_local [2*loc_w] uint32) and
+    ANDs only its word slice of every sample row; per-rank partial
+    parities combine with one tiny ``psum`` ([N, rows] int32 — the only
+    cross-rank traffic).  Noise bits, Toeplitz and the field map are
+    rank-replicated (they read ~1/65th of the stream).  Bit-exact with
+    :func:`cores_from_streams` (proven pattern: parallel/sharding.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    N = u64s.shape[0]
+    rows = _rows_per_core(prm)
+    sw64 = prm.s_words64
+    loc_w = s32_local.shape[0] // 2
+    t_idx = lax.axis_index(axis_name)
+    stride = sw64 + 1
+    base_idx = (np.arange(rows)[:, None] * stride
+                + np.arange(loc_w)[None, :])  # [rows, loc_w]
+    idx = jnp.asarray(base_idx) + t_idx * loc_w
+    rows_u = jnp.take(u64s, idx.reshape(-1), axis=1).reshape(
+        N, rows, loc_w, 2)
+    s_loc = s32_local.reshape(loc_w, 2)
+    acc = rows_u & s_loc[None, None, :, :]
+    x = _xor_reduce_last(acc.reshape(N, rows, 2 * loc_w))
+    partial = _parity_fold(x).astype(jnp.int32)
+    dot = (lax.psum(partial, axis_name) % 2).astype(U32)  # [N, rows]
+    return _cores_tail(jnp, dot, u64s, top_u, prm, rows, sw64)
+
+
+def _cores_tail(xp, dot, u64s, top_u, prm, rows, sw64):
+    """Noise sampling, y-bit packing, Toeplitz and field map shared by the
+    replicated and tensor-parallel core paths."""
+    N = u64s.shape[0]
+    stride = sw64 + 1
     noise_idx = np.arange(rows) * stride + sw64
     nz = u64s[:, noise_idx, :]  # [N, rows, 2]
     den = prm.lpn_tau_den

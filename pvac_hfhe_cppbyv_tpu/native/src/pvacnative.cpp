@@ -519,26 +519,55 @@ int pvacn_has_aesni() { return PVACN_AESNI; }
 // occupies bit n%32 of word n/32.
 void pvacn_expand_keys_packed(const uint8_t* keys, uint64_t n_lanes,
                               uint32_t* out) {
+    // Lane-packed round-key planes; threaded over 32-lane words (each
+    // thread owns disjoint out columns) with a branch-free bit scatter —
+    // this runs per PRF chunk on the host and was the top host cost of a
+    // warm device-engine encryption batch.
     uint64_t nw = (n_lanes + 31) / 32;
     memset(out, 0, 1920 * nw * 4);
-    for (uint64_t n = 0; n < n_lanes; n++) {
-        AesKey ak;
-        aes_expand(keys + 32 * n, ak);
-        uint32_t lane_word = (uint32_t)(n / 32);
-        uint32_t lane_bit = (uint32_t)(n % 32);
-        for (int r = 0; r < 15; r++) {
-            for (int p = 0; p < 16; p++) {
-                int c = p / 4, k = p % 4;
-                uint8_t byte = (uint8_t)(ak.w[4 * r + c] >> (8 * (3 - k)));
-                for (int b = 0; b < 8; b++) {
-                    if ((byte >> b) & 1) {
-                        uint64_t plane = ((uint64_t)r * 16 + p) * 8 + b;
-                        out[plane * nw + lane_word] |= (1u << lane_bit);
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 1;
+    unsigned nt = (unsigned)(nw < hw ? (nw ? nw : 1) : hw);
+    auto work = [&](uint64_t w0, uint64_t w1) {
+        for (uint64_t w = w0; w < w1; w++) {
+            uint64_t n0 = w * 32;
+            uint64_t n1 = n0 + 32 < n_lanes ? n0 + 32 : n_lanes;
+            for (uint64_t n = n0; n < n1; n++) {
+                AesKey ak;
+                aes_expand(keys + 32 * n, ak);
+                uint32_t lane_bit = (uint32_t)(n % 32);
+                uint32_t* col = out + w;
+                for (int r = 0; r < 15; r++) {
+                    for (int c = 0; c < 4; c++) {
+                        uint32_t word = ak.w[4 * r + c];
+                        // byte k (big-endian) feeds planes of state byte
+                        // p = 4*c + k; plane index = (r*16+p)*8 + b
+                        for (int k = 0; k < 4; k++) {
+                            uint8_t byte = (uint8_t)(word >> (8 * (3 - k)));
+                            uint64_t pb = (((uint64_t)r * 16 + 4 * c + k) * 8);
+                            uint32_t* base = col + pb * nw;
+                            for (int b = 0; b < 8; b++)
+                                base[(uint64_t)b * nw] |=
+                                    ((uint32_t)((byte >> b) & 1)) << lane_bit;
+                        }
                     }
                 }
             }
         }
+    };
+    if (nt <= 1) {
+        work(0, nw);
+        return;
     }
+    std::vector<std::thread> ts;
+    uint64_t per = (nw + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        uint64_t w0 = (uint64_t)t * per;
+        uint64_t w1 = w0 + per < nw ? w0 + per : nw;
+        if (w0 >= w1) break;
+        ts.emplace_back(work, w0, w1);
+    }
+    for (auto& th : ts) th.join();
 }
 
 // keystream: for each lane, nblocks counter blocks -> out u64s

@@ -47,7 +47,8 @@ def _load_autotune() -> dict:
         return {}
 
 
-def prf_program(prm, n_lanes: int, use_pallas: bool = False):
+def prf_program(prm, n_lanes: int, use_pallas: bool = False,
+                tp_axis: str | None = None):
     """The single-chip prf_R-core forward program (jittable, pure).
 
     (rk_packed [1920, n/32], nlo, nhi [n], trk_packed, tnlo, tnhi, s32
@@ -55,6 +56,11 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False):
 
     With use_pallas=True the AES keystream runs as the fused Pallas kernel
     (state stays in VMEM across rounds) instead of the XLA op pipeline.
+
+    With tp_axis set the program is a shard_map BODY on a (dp, tp) mesh:
+    n_lanes is the per-dp-rank lane count, s32 is the rank's LOCAL secret
+    slice (P(tp_axis)), and the LPN contraction runs tensor-parallel with
+    one psum of partial parities (lpn.cores_from_streams_tp).
     """
     nblocks = lpn.n_ybits_blocks(prm)
 
@@ -80,7 +86,11 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False):
         thi = twords[:, :, 1::2].reshape(n_lanes, -1)
         top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
 
-        r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
+        if tp_axis is None:
+            r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
+        else:
+            r, rej = lpn.cores_from_streams_tp(u64s, top_u, s32, prm,
+                                               axis_name=tp_axis)
         return r, rej.any(axis=-1)
 
     return run
@@ -164,10 +174,20 @@ class DeviceEngine:
             )
             if pk.H is not None else None
         )
-        self.s32_dev = (
-            self._put_repl(sk.s_words32().reshape(-1))
-            if sk is not None else None
-        )
+        if sk is not None:
+            s32 = sk.s_words32().reshape(-1)
+            # LPN-tp: the secret lives sharded P('tp') so the PRF
+            # contraction — the hottest HBM read (SURVEY §6) — splits
+            # tp-ways in the real prf program (see _prf_fn).
+            self._s32_tp = (self.tp > 1 and s32.shape[0] % self.tp == 0)
+            if self._s32_tp:
+                self.s32_dev = jax.device_put(
+                    s32, NamedSharding(self.mesh, P("tp")))
+            else:
+                self.s32_dev = self._put_repl(s32)
+        else:
+            self.s32_dev = None
+            self._s32_tp = False
         self._canon2 = self._put_repl(
             np.array(
                 [pk.canon_tag & 0xFFFFFFFF, (pk.canon_tag >> 32) & 0xFFFFFFFF],
@@ -256,13 +276,31 @@ class DeviceEngine:
         fn = self._prf_fn_cache.get(n_pad)
         if fn is not None:
             return fn
-        fn = self._jit(
-            prf_program(self.prm, n_pad, self.use_pallas),
-            # rk [1920, n/32] lane-packs 32 lanes per column: dp on axis 1
-            in_specs=(P(None, "dp"), P("dp"), P("dp"),
-                      P(None, "dp"), P("dp"), P("dp"), P()),
-            out_specs=(P("dp", None), P("dp")),
-        )
+        if self.mesh is not None and self._s32_tp:
+            # Real-ops LPN-tp: shard_map over (dp, tp) with the secret
+            # sharded P('tp'); each rank ANDs its word slice of every
+            # sample row and partial parities combine with one psum
+            # (lpn.cores_from_streams_tp; pattern proven in sharding.py).
+            from jax.experimental.shard_map import shard_map
+
+            nloc = n_pad // self.n_dev
+            body = prf_program(self.prm, nloc, self.use_pallas,
+                               tp_axis="tp")
+            fn = jax.jit(shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(None, "dp"), P("dp"), P("dp"),
+                          P(None, "dp"), P("dp"), P("dp"), P("tp")),
+                out_specs=(P("dp", None), P("dp")),
+                check_rep=False,
+            ))
+        else:
+            fn = self._jit(
+                prf_program(self.prm, n_pad, self.use_pallas),
+                # rk [1920, n/32] lane-packs 32 lanes per column: dp on axis 1
+                in_specs=(P(None, "dp"), P("dp"), P("dp"),
+                          P(None, "dp"), P("dp"), P("dp"), P()),
+                out_specs=(P("dp", None), P("dp")),
+            )
         self._prf_fn_cache[n_pad] = fn
         return fn
 

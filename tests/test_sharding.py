@@ -169,6 +169,80 @@ def test_mesh_engine_real_ops_roundtrip(mesh_keys):
     assert vals_host == vals
 
 
+def test_mesh_engine_prf_is_lpn_tensor_parallel(mesh_keys):
+    """The REAL engine PRF program runs the LPN contraction tensor-parallel
+    on a (dp, tp) mesh: the secret lives sharded P('tp') and the prf
+    output is still bit-exact vs the host path (VERDICT r3 #5).
+
+    test_mesh_engine_prf_bitexact covers exactness; this asserts the tp
+    configuration is actually ACTIVE (not silently fallen back)."""
+    pk, sk, eng = mesh_keys
+    assert eng.tp == 4 and eng._s32_tp, (eng.tp, eng._s32_tp)
+    spec = tuple(eng.s32_dev.sharding.spec)
+    assert spec == ("tp",), spec
+    # the jitted prf fn for a padded lane count must be the shard_map path:
+    # run one call and re-check exactness through it
+    N = 64
+    rng = np.random.default_rng(29)
+    keys = rng.integers(0, 256, (N, 32), dtype=np.uint8)
+    nonces = rng.integers(0, 1 << 62, N, dtype=np.uint64)
+    r_mesh, rej = eng.prf_cores(keys, nonces, keys, nonces)
+
+    from pvac_hfhe_cppbyv_tpu.crypto import aesv
+
+    nblocks = lpn.n_ybits_blocks(pk.prm)
+    rk = aesv.expand_keys_packed(keys)
+    nlo = (nonces & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nhi = (nonces >> np.uint64(32)).astype(np.uint32)
+    planes = aesv.counters_to_planes(nlo, nhi, nblocks)
+    words = aesv.planes_to_words(
+        aesv.encrypt_planes(aesv.rk_masks_from_packed(rk, N), planes), nblocks)
+    lo = words[:, :, 0::2].reshape(N, -1)
+    hi = words[:, :, 1::2].reshape(N, -1)
+    u64s = np.stack([lo, hi], axis=-1)
+    tplanes = aesv.counters_to_planes(nlo, nhi, 1)
+    twords = aesv.planes_to_words(
+        aesv.encrypt_planes(aesv.rk_masks_from_packed(rk, N), tplanes), 1)
+    top_u = np.stack([twords[:, :, 0::2].reshape(N, -1),
+                      twords[:, :, 1::2].reshape(N, -1)], axis=-1)
+    want_r, want_rej = lpn.cores_from_streams(
+        u64s, top_u, sk.s_words32().reshape(-1), pk.prm)
+    np.testing.assert_array_equal(np.asarray(r_mesh), want_r)
+    np.testing.assert_array_equal(np.asarray(rej), want_rej.any(axis=-1))
+
+
+@pytest.mark.slow
+def test_mesh_engine_default_params_roundtrip():
+    """enc -> mul -> add -> dec at PRODUCTION shape (default Params,
+    m_bits=8192: tp-sharded 256-word σ rows, compact-transfer program,
+    LPN-tp PRF) on the 8-device (dp=2, tp=4) virtual mesh, with a host
+    decrypt cross-check (VERDICT r3 #6)."""
+    import pvac_hfhe_cppbyv_tpu as pvac
+    from pvac_hfhe_cppbyv_tpu.parallel.engine import (
+        disable_device, enable_device,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    pk, sk = pvac.keygen(Params())
+    mesh = make_mesh(jax.devices()[:8])
+    eng = enable_device(pk, sk, mesh=mesh)
+    eng.use_pallas_sha = False  # virtual CPU devices can't run TPU Pallas
+    try:
+        assert eng.tp == 4 and eng._s32_tp
+        assert tuple(eng.Hx_dev.sharding.spec) == (None, "tp")
+        cts = pvac.enc_value_batch(pk, sk, [9, 31])
+        prod = pvac.ct_mul(pk, cts[0], cts[1])
+        s = pvac.ct_add(pk, prod, cts[0])
+        assert pvac.dec_value_batch(pk, sk, cts + [prod, s]) == \
+            [9, 31, 279, 288]
+        disable_device(pk)
+        assert pvac.dec_value_batch(pk, sk, cts + [prod, s]) == \
+            [9, 31, 279, 288]
+    finally:
+        disable_device(pk)
+
+
 def test_mesh_engine_sigma_is_tensor_parallel(mesh_keys):
     """On a 2-D (dp, tp) mesh the engine holds H column-sharded over tp
     and produces σ sharded over BOTH axes — real tensor parallelism in a
