@@ -72,10 +72,12 @@ def main():
     vals = list(range(n))
     t0 = time.time()
     cts = pvac.enc_value_batch(pk, sk, vals)  # warm (compiles)
+    eng.drain()
     warm_s = time.time() - t0
     log(f"enc warm: {warm_s:.1f}s")
     t0 = time.time()
     cts = pvac.enc_value_batch(pk, sk, vals)
+    eng.drain()  # the timed window must cover in-flight sigma chunks
     t_total = time.time() - t0
     assert pvac.dec_value_batch(pk, sk, cts[:2]) == vals[:2]
 

@@ -1,5 +1,21 @@
 """Pallas TPU kernel: fused bitsliced AES-256-CTR keystream.
 
+STATUS: REFERENCE-ONLY — retired from the default path in round 4.
+
+Measured reason it cannot win (VERDICT r3 #7, benchmarks/roofline.py):
+the XLA bitsliced path (crypto/aesv.py) runs at 287M AES blocks/s on the
+v5e — with ~6k gate-ops per bitsliced block that is ~1.7e12 u32 lane-ops/s,
+i.e. ~45% of the VPU ceiling, and XLA already fuses the downstream LPN
+contraction into it (the full prf pipeline costs only ~2 ms more than the
+bare keystream).  This kernel's one-grid-program-per-lane design (tiny
+[16, G=129] unaligned tiles, 1024 sequential programs) cannot approach
+that, and current Mosaic rejects its unaligned vector shapes outright
+("vector types must have positive constant sizes but got 0, 129" in
+_shift_rows).  The measured autotune (roofline.py -> PVAC_AUTOTUNE_FILE)
+therefore selects the XLA path; nothing in the default engine invokes
+this module.  Kept as the documented bitsliced-circuit reference and for
+tests/test_aes_pallas.py (interpret mode — the circuit itself is correct).
+
 The jnp path materializes the bitsliced state to HBM between ops; this
 kernel keeps a lane's whole state in VMEM across all 14 rounds and writes
 only the final keystream words — HBM traffic drops from ~30x the state size

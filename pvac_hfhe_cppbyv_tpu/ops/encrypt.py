@@ -309,6 +309,124 @@ def _draw_structure(pk: PubKey, plan: _LayerPlan) -> None:
     plan.skel_inv = inv.astype(np.int64)
 
 
+def _rand_fp_nonzero_batch(m: int) -> list[int]:
+    """m uniform nonzero field elements, drawn in bulk (one getrandom call
+    per round instead of 2 syscalls per element).  Same per-element
+    distribution as F.rand_fp_nonzero (core/types.hpp:145-155)."""
+    out: list[int] = []
+    while len(out) < m:
+        need = m - len(out)
+        lo = csprng_u64_array(need)
+        hi = csprng_u64_array(need) & np.uint64((1 << 63) - 1)
+        for l, h in zip(lo.tolist(), hi.tolist()):
+            x = (h << 64) | l  # < 2^127; canon maps P itself to 0 (rejected)
+            if x != 0 and x != F.P:
+                out.append(x)
+    return out
+
+
+def _mod_draws(m: int, B: int) -> np.ndarray:
+    return (csprng_u64_array(m) % np.uint64(B)).astype(np.int64)
+
+
+def _draw_structures_batch(pk: PubKey, plans: list[_LayerPlan]) -> None:
+    """Vectorized _draw_structure over a whole plan batch: all CSPRNG
+    material arrives in bulk getrandom calls and the index/sign/weight
+    pools are computed with numpy, so the per-layer python work is just
+    slicing.  Statistically identical to the scalar path (which remains
+    the documented oracle); the scheme never depends on draw ORDER, only
+    on each draw's distribution (OS CSPRNG, reference encrypt.hpp:131-160).
+    """
+    B = pk.prm.B
+    S = 8
+    groups: dict[tuple[int, int], list[int]] = {}
+    for t, p in enumerate(plans):
+        groups.setdefault((p.z2, p.z3), []).append(t)
+
+    for (z2, z3), ids in groups.items():
+        n = len(ids)
+        # --- 8 unique value-edge indices per plan: first-S-unique of a
+        # 16-draw window, redrawing the (rare) rows that fall short ---
+        D = 16
+        vidx = np.empty((n, S), dtype=np.int64)
+        pending = np.arange(n)
+        earlier = np.tril(np.ones((D, D), dtype=bool), k=-1)
+        while pending.size:
+            m = pending.size
+            draws = _mod_draws(m * D, B).reshape(m, D)
+            dup = (draws[:, :, None] == draws[:, None, :]) & earlier[None]
+            first = ~dup.any(-1)
+            rank = np.cumsum(first, axis=1)
+            ok = rank[:, -1] >= S
+            take = first & (rank <= S)
+            if ok.any():
+                vidx[pending[ok]] = draws[ok][take[ok]].reshape(-1, S)
+            pending = pending[~ok]
+        vch = (csprng_u64_array(n * S) & np.uint64(1)).astype(np.int64) \
+            .reshape(n, S)
+        vrs = _rand_fp_nonzero_batch(n * (S - 1))
+
+        # --- z2 pairs: i free, j != i ---
+        if z2:
+            i2 = _mod_draws(n * z2, B).reshape(n, z2)
+            j2 = _mod_draws(n * z2, B).reshape(n, z2)
+            bad = j2 == i2
+            while bad.any():
+                j2[bad] = _mod_draws(int(bad.sum()), B)
+                bad = j2 == i2
+            s2a = (csprng_u64_array(n * z2) & np.uint64(1)).astype(np.int64) \
+                .reshape(n, z2)
+            r2 = _rand_fp_nonzero_batch(n * z2)
+        # --- z3 triples: i free, j != i, k not in {i, j} ---
+        if z3:
+            i3 = _mod_draws(n * z3, B).reshape(n, z3)
+            j3 = _mod_draws(n * z3, B).reshape(n, z3)
+            bad = j3 == i3
+            while bad.any():
+                j3[bad] = _mod_draws(int(bad.sum()), B)
+                bad = j3 == i3
+            k3 = _mod_draws(n * z3, B).reshape(n, z3)
+            bad = (k3 == i3) | (k3 == j3)
+            while bad.any():
+                k3[bad] = _mod_draws(int(bad.sum()), B)
+                bad = (k3 == i3) | (k3 == j3)
+            s3a = (csprng_u64_array(3 * n * z3) & np.uint64(1)) \
+                .astype(np.int64).reshape(n, z3, 3)
+            ab3 = _rand_fp_nonzero_batch(2 * n * z3)
+
+        for s, t in enumerate(ids):
+            plan = plans[t]
+            idxs = vidx[s].tolist()
+            chs = vch[s].tolist()
+            plan.vstruct = (idxs, chs,
+                            vrs[s * (S - 1):(s + 1) * (S - 1)])
+            skel_i = idxs[:]
+            skel_c = chs[:]
+            plan.z2g = []
+            for g in range(z2):
+                s1 = int(s2a[s, g])
+                plan.z2g.append((int(i2[s, g]), int(j2[s, g]), s1, s1 ^ 1,
+                                 r2[s * z2 + g]))
+                skel_i += [int(i2[s, g]), int(j2[s, g])]
+                skel_c += [s1, s1 ^ 1]
+            plan.z3g = []
+            for g in range(z3):
+                sg = s3a[s, g]
+                plan.z3g.append((
+                    int(i3[s, g]), int(j3[s, g]), int(k3[s, g]),
+                    int(sg[0]), int(sg[1]), int(sg[2]),
+                    ab3[2 * (s * z3 + g)], ab3[2 * (s * z3 + g) + 1],
+                ))
+                skel_i += [int(i3[s, g]), int(j3[s, g]), int(k3[s, g])]
+                skel_c += [int(sg[0]), int(sg[1]), int(sg[2])]
+            key = (np.asarray(skel_i, dtype=np.int64) * 2
+                   + np.asarray(skel_c, dtype=np.int64))
+            uniq, inv = np.unique(key, return_inverse=True)
+            plan.skel_idx = (uniq // 2).astype(np.int32)
+            plan.skel_ch = (uniq & 1).astype(np.int8)
+            plan.skel_inv = inv.astype(np.int64)
+
+
 def _weights_from_cores(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[int]:
     """Scalar reference for _weights_from_cores_batch (kept as the test
     oracle): given one layer's resolved PRF cores (request order), compute
@@ -596,8 +714,7 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     )
     dh = np.array([lpn.DOM_HASH[d] for _, d in reqs], dtype=np.uint64)
     prf_fin = lpn.prf_cores_batch_start(pk, sk, seeds, dh)
-    for p in plans:
-        _draw_structure(pk, p)
+    _draw_structures_batch(pk, plans)
     sig_fin = _sigma_for_plans_start(pk, plans)
     cores = np.asarray(prf_fin(), dtype=U32)
     weights = _weights_from_cores_batch(pk, plans, cores, spans)
