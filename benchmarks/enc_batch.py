@@ -60,14 +60,45 @@ def main():
     t0 = time.time()
     done = 0
     sample = []
-    while done < args.n:
-        take = min(args.chunk, args.n - done)
-        cts = pvac.enc_value_batch(pk, sk, list(range(done, done + take)))
-        if done == 0:
-            sample = cts[:4]
-        done += take
-        el = time.time() - t0
-        print(f"  {done}/{args.n} enc ({done/el:.1f} ct/s)", flush=True)
+    # software-pipelined: chunk i+1's device programs dispatch before
+    # chunk i's host finalize (enc_value_batch pipelines internally when
+    # given the whole range, but chunked calls here keep progress visible)
+    from pvac_hfhe_cppbyv_tpu.ops.encrypt import (
+        combine_ciphers, enc_fp_depth_batch_start,
+    )
+    from pvac_hfhe_cppbyv_tpu.core import field as F
+
+    def start(v0, take):
+        vals2, metas = [], []
+        for v in range(v0, v0 + take):
+            mask = F.rand_fp_nonzero()
+            vals2.append(F.fp_add(F.fp_from_u64(v), mask))
+            vals2.append(F.fp_neg(mask))
+        return take, enc_fp_depth_batch_start(
+            pk, sk, vals2, [0] * len(vals2))
+
+    prev = None
+    while done < args.n or prev is not None:
+        if done < args.n:
+            take = min(args.chunk, args.n - done)
+            nxt = start(done, take)
+            done += take
+        else:
+            nxt = None
+        if prev is not None:
+            k, fin = prev
+            shares = fin()
+            cts = [combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
+                   for i in range(k)]
+            if not sample:
+                sample = cts[:4]
+            el = time.time() - t0
+            print(f"  {done}/{args.n} enc ({done/el:.1f} ct/s)", flush=True)
+        prev = nxt
+    # drain in-flight sigma so the clock covers all device work
+    eng = getattr(pk, "_engine", None)
+    if eng is not None:
+        eng.drain()
     el = time.time() - t0
     cores = 2 * 15 * args.n
     blocks = cores * (lpn.n_ybits_blocks(prm) + 1)

@@ -702,6 +702,16 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     compact_edges, encrypt.hpp:39-71), and σ stays device-resident until a
     consumer needs host bytes.
     """
+    return enc_fp_depth_batch_start(pk, sk, values, depth_hints)()
+
+
+def enc_fp_depth_batch_start(pk: PubKey, sk: SecKey, values: list[int],
+                             depth_hints: list[int]):
+    """Dispatch half of enc_fp_depth_batch: PRF + σ device programs are
+    in flight when this returns; the returned finalize() fetches the cores,
+    computes weights and assembles the Ciphers.  A caller encrypting many
+    chunks overlaps chunk i's host finalize with chunk i+1's device work
+    (see enc_value_batch's internal pipeline)."""
     plans = [_LayerPlan(pk, v, d) for v, d in zip(values, depth_hints)]
     reqs = []
     spans = []
@@ -716,23 +726,30 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
     prf_fin = lpn.prf_cores_batch_start(pk, sk, seeds, dh)
     _draw_structures_batch(pk, plans)
     sig_fin = _sigma_for_plans_start(pk, plans)
-    cores = np.asarray(prf_fin(), dtype=U32)
-    weights = _weights_from_cores_batch(pk, plans, cores, spans)
-    sig_all, offsets, fixer, vrows = sig_fin()
-    if isinstance(sig_all, np.ndarray):
-        views = [sig_all[offsets[i] : offsets[i + 1]] for i in range(len(plans))]
-    else:
-        views = [
-            LazySigma(sig_all, vrows[offsets[i] : offsets[i + 1]], fixer)
-            for i in range(len(plans))
-        ]
-    out = []
-    for p, ws, sig in zip(plans, weights, views):
-        C = _build_cipher_from_plan(pk, p, ws, sig)
-        guard_budget(pk, C, "enc")
-        _shuffle_edges(C)
-        out.append(C)
-    return out
+
+    def finalize() -> list[Cipher]:
+        cores = np.asarray(prf_fin(), dtype=U32)
+        weights = _weights_from_cores_batch(pk, plans, cores, spans)
+        sig_all, offsets, fixer, vrows = sig_fin()
+        if isinstance(sig_all, np.ndarray):
+            views = [
+                sig_all[offsets[i] : offsets[i + 1]]
+                for i in range(len(plans))
+            ]
+        else:
+            views = [
+                LazySigma(sig_all, vrows[offsets[i] : offsets[i + 1]], fixer)
+                for i in range(len(plans))
+            ]
+        out = []
+        for p, ws, sig in zip(plans, weights, views):
+            C = _build_cipher_from_plan(pk, p, ws, sig)
+            guard_budget(pk, C, "enc")
+            _shuffle_edges(C)
+            out.append(C)
+        return out
+
+    return finalize
 
 
 def enc_fp_depth(pk: PubKey, sk: SecKey, v: int, depth_hint: int) -> Cipher:
@@ -785,16 +802,43 @@ def enc_zero_depth(pk: PubKey, sk: SecKey, depth_hint: int) -> Cipher:
 
 
 def enc_value_batch(pk: PubKey, sk: SecKey, values: list[int],
-                    depth_hint: int = 0) -> list[Cipher]:
-    """Batched enc_value: all 2N layers share one PRF batch and one σ batch."""
-    vals = []
-    for v in values:
-        val = F.fp_from_u64(v)
-        mask = F.rand_fp_nonzero()
-        vals.append(F.fp_add(val, mask))
-        vals.append(F.fp_neg(mask))
-    shares = enc_fp_depth_batch(pk, sk, vals, [depth_hint] * len(vals))
-    return [
-        combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
-        for i in range(len(values))
-    ]
+                    depth_hint: int = 0,
+                    pipeline_chunk: int = 1024) -> list[Cipher]:
+    """Batched enc_value: all 2N layers share one PRF batch and one σ batch.
+
+    Batches beyond ``pipeline_chunk`` values run software-pipelined: chunk
+    i+1's PRF/σ device programs are dispatched BEFORE chunk i's host
+    finalize (core fetch + weight math + assembly), so host work and
+    device work overlap across the whole run instead of alternating."""
+    def shares_of(vs):
+        out = []
+        for v in vs:
+            val = F.fp_from_u64(v)
+            mask = F.rand_fp_nonzero()
+            out.append(F.fp_add(val, mask))
+            out.append(F.fp_neg(mask))
+        return out
+
+    def combine(vs, shares):
+        return [
+            combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
+            for i in range(len(vs))
+        ]
+
+    n = len(values)
+    if n <= pipeline_chunk:
+        shares = enc_fp_depth_batch(
+            pk, sk, shares_of(values), [depth_hint] * (2 * n))
+        return combine(values, shares)
+
+    out: list[Cipher] = []
+    prev = None  # (chunk values, finalize)
+    for off in range(0, n, pipeline_chunk):
+        vs = values[off : off + pipeline_chunk]
+        fin = enc_fp_depth_batch_start(
+            pk, sk, shares_of(vs), [depth_hint] * (2 * len(vs)))
+        if prev is not None:
+            out.extend(combine(prev[0], prev[1]()))
+        prev = (vs, fin)
+    out.extend(combine(prev[0], prev[1]()))
+    return out

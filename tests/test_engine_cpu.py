@@ -75,6 +75,43 @@ def test_engine_sigma_compact_form(eng_keys):
     )
 
 
+def test_engine_sigma_multichunk_padded_rows(eng_keys):
+    """Multi-chunk σ with a padded remainder: the (padded sig, valid rows)
+    contract must reconstruct exactly the host σ through BOTH consumers —
+    SigmaJob finalize and the LazySigma/fixer deferred path."""
+    pk, sk, eng = eng_keys
+    old_chunk = eng.SIGMA_CHUNK
+    eng.SIGMA_CHUNK = 64  # force 2 full chunks + a padded remainder
+    try:
+        E = 64 + 64 + 17
+        rng = np.random.default_rng(41)
+        zt = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+        nlo = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+        nhi = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+        idx = rng.integers(0, pk.prm.B, E, dtype=np.uint64)
+        ch = rng.integers(0, 2, E, dtype=np.uint64)
+        salt = rng.integers(0, 1 << 62, E, dtype=np.uint64)
+
+        job = matrix.sigma_words_start(pk, zt, nlo, nhi, idx, ch, salt)
+        assert job.n_pad > E  # padding really present
+        # consumer 1: deferred LazySigma over the padded base
+        parts, fixer, vrows = matrix.sigma_deferred([job])
+        assert len(vrows) == E
+        lazy = np.asarray(LazySigma(parts[0], vrows, fixer))
+        # consumer 2: direct finalize
+        job2 = matrix.sigma_words_start(pk, zt, nlo, nhi, idx, ch, salt)
+        fin = np.asarray(job2())
+        disable_device(pk)
+        try:
+            want = matrix.sigma_words(pk, zt, nlo, nhi, idx, ch, salt)
+        finally:
+            pk._engine = eng
+        np.testing.assert_array_equal(lazy, want)
+        np.testing.assert_array_equal(fin, want)
+    finally:
+        eng.SIGMA_CHUNK = old_chunk
+
+
 def test_engine_sigma_empty_batch(eng_keys):
     pk, sk, eng = eng_keys
     sig, fb, rows = eng.sigma(np.zeros((0, 7), dtype=np.uint64))
