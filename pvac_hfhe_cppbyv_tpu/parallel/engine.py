@@ -553,8 +553,12 @@ class DeviceEngine:
                 else np.concatenate(row_parts))
         return sig, fb, rows  # device-resident; callers fetch when needed
 
-    # In-flight σ chunk bound (~8 MB device output each at default Params).
-    SIGMA_QUEUE_DEPTH = 12
+    # In-flight σ chunk bound (~16 MB device output per 16K-edge chunk at
+    # default Params -> ~768 MB ceiling on a 16 GB v5e).  Measured sweep
+    # (ct_mul batch 512 = 38 chunks): depth 12 -> 384 ops/s, 24 -> 427,
+    # 48 -> 545 — deep enough that a whole large batch dispatches without
+    # stalling, while still bounding runaway queueing on the tunnel.
+    SIGMA_QUEUE_DEPTH = 48
 
     def drain(self) -> None:
         """Wait for every queued σ chunk (the queue is in-order, so waiting
