@@ -2,7 +2,8 @@
 
 PY ?= python
 
-.PHONY: test test-v test-q test-slow test-all bench native golden vectors clean
+.PHONY: test test-v test-q test-slow test-all bench native golden vectors \
+        multihost clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -29,6 +30,12 @@ bench-quick:
 
 native:
 	$(PY) -c "from pvac_hfhe_cppbyv_tpu import native; assert native.lib()"
+
+# TRUE multi-process distributed-backend validation: two OS processes,
+# jax.distributed, one global (dp=2, tp=4) mesh; psum/sigma collectives
+# cross the process boundary; bit-exact vs host in both processes.
+multihost:
+	$(PY) tools/multihost_cpu.py
 
 # ASan/UBSan build of the native runtime + the tests that exercise it
 # (parity with the reference's `make sanitize`, Makefile:24-25)
