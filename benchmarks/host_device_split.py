@@ -95,10 +95,9 @@ def main():
     for sz in sorted(set(chunks)):
         n_pad = eng._pad_lanes(sz)
         keys = rng.integers(0, 256, (n_pad, 32), dtype=np.uint16).astype(np.uint8)
-        rk = aesv.expand_keys_packed(keys)
         nlo = rng.integers(0, 1 << 32, n_pad, dtype=np.uint64).astype(np.uint32)
         fn = eng._prf_fn(n_pad)
-        t = bench_dev(fn, rk, nlo, nlo, rk, nlo, nlo, eng.s32_dev)
+        t = bench_dev(fn, keys, nlo, nlo, keys, nlo, nlo, eng.s32_dev)
         t_prf_dev += t * chunks.count(sz)
         log(f"  prf chunk {sz} (pad {n_pad}): {t*1e3:.1f} ms device")
 

@@ -242,10 +242,9 @@ def main():
     s32 = rng.integers(0, 1 << 32, 2 * prm.s_words64,
                        dtype=np.uint64).astype(np.uint32)
     prog = jax.jit(prf_program(prm, N, autotune["use_pallas"]))
-    trk = aesv.expand_keys_packed(keys)
-    t_prf = bench(prog, rk, nlo, nhi, trk, nlo, nhi, s32)
+    t_prf = bench(prog, keys, nlo, nhi, keys, nlo, nhi, s32)
     fl, by = cost(prf_program(prm, N, autotune["use_pallas"]),
-                  rk, nlo, nhi, trk, nlo, nhi, s32)
+                  keys, nlo, nhi, keys, nlo, nhi, s32)
     rows.append(row("prf_core_pipeline", t_prf, "cores/s", N, fl, by,
                     PEAK_VPU_U32,
                     f"{N} lanes: keystream + {prm.lpn_t}-row parity + conv127"))

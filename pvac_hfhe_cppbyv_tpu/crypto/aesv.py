@@ -465,6 +465,66 @@ def expand_keys_packed(keys_bytes: np.ndarray) -> np.ndarray:
     return _expand_schedule(keys_bytes)
 
 
+def expand_keys_packed_xp(keys_bytes) -> "np.ndarray":
+    """xp-agnostic (jit-safe) AES-256 key schedule -> lane-packed planes
+    [1920, N/32]; N must be a multiple of 32.
+
+    Runs ON DEVICE inside the engine's prf program: shipping raw 32-byte
+    keys costs 8x less link transfer than the packed round-key planes
+    (32 KB vs 245 KB per 1024-lane chunk — the planes were the largest
+    host->device transfer of a warm encryption batch), and the schedule
+    itself is ~14 bitsliced S-box circuits over [60, N/32] words — noise
+    on the VPU.  Bit-identical to the host scrollers (_expand_schedule /
+    native expand_keys_packed) on all valid lanes."""
+    xp = _xp(keys_bytes)
+    N = keys_bytes.shape[0]
+    assert N % 32 == 0, N
+    kb = keys_bytes.astype(U32)
+    nw = N // 32
+    sh32 = xp.arange(32, dtype=U32)
+
+    def pack(bits):  # [N] {0,1} -> [N/32] u32 (disjoint bits: sum == OR)
+        return (bits.reshape(nw, 32) << sh32).sum(axis=-1).astype(U32)
+
+    wb = []
+    for i in range(8):
+        word = []
+        for k in range(4):
+            byte = kb[:, 4 * i + k]
+            word.append([pack((byte >> U32(b)) & U32(1)) for b in range(8)])
+        wb.append(word)
+
+    def subword(word):
+        planes = [xp.stack([word[k][b] for k in range(4)]) for b in range(8)]
+        planes = sbox_planes(planes)
+        return [[planes[b][k] for b in range(8)] for k in range(4)]
+
+    def rotword(word):
+        return [word[1], word[2], word[3], word[0]]
+
+    for i in range(8, 60):
+        t = wb[i - 1]
+        if i % 8 == 0:
+            t = subword(rotword(t))
+            rcon = _RCON[i // 8 - 1]
+            t = [list(tb) for tb in t]
+            for b in range(8):
+                if (rcon >> b) & 1:
+                    t[0][b] = ~t[0][b]
+        elif i % 8 == 4:
+            t = subword(t)
+        wb.append(
+            [[wb[i - 8][k][b] ^ t[k][b] for b in range(8)] for k in range(4)]
+        )
+    planes_flat = []
+    for r in range(15):
+        for p in range(16):
+            c, k = p // 4, p % 4
+            for b in range(8):
+                planes_flat.append(wb[4 * r + c][k][b])
+    return xp.stack(planes_flat)  # [1920, N/32]
+
+
 def _expand_schedule(keys_bytes: np.ndarray) -> np.ndarray:
     N = keys_bytes.shape[0]
     kb = keys_bytes.astype(U32)

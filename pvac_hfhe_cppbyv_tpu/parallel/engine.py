@@ -48,11 +48,19 @@ def _load_autotune() -> dict:
 
 
 def prf_program(prm, n_lanes: int, use_pallas: bool = False,
-                tp_axis: str | None = None):
+                tp_axis: str | None = None, expand_on_device: bool = True):
     """The single-chip prf_R-core forward program (jittable, pure).
 
-    (rk_packed [1920, n/32], nlo, nhi [n], trk_packed, tnlo, tnhi, s32
+    (keys [n, 32] u8, nlo, nhi [n], toep_keys [n, 32] u8, tnlo, tnhi, s32
     [2*s_words64]) -> (field limbs [n, 4], rejection flags [n]).
+
+    With expand_on_device=True (the accelerator default) the AES-256 key
+    schedule runs ON DEVICE (aesv.expand_keys_packed_xp): raw 32-byte
+    keys cost 8x less link transfer than pre-expanded round-key planes,
+    which were the largest host->device transfer of a warm encryption
+    batch.  With False the key inputs are host-expanded lane-packed
+    planes [1920, n/32] — used on the CPU backend, where XLA:CPU's
+    compile time on the in-program schedule chain is pathological.
 
     With use_pallas=True the AES keystream runs as the fused Pallas kernel
     (state stays in VMEM across rounds) instead of the XLA op pipeline.
@@ -64,7 +72,14 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
     """
     nblocks = lpn.n_ybits_blocks(prm)
 
-    def _keystream_words(rk_packed, nlo, nhi, nb):
+    def _keystream_words(k_in, nlo, nhi, nb):
+        if expand_on_device:
+            rk_packed = aesv.expand_keys_packed_xp(k_in)
+            # materialization fence: keeps fusion from duplicating the
+            # 52-step schedule chain into each round's consumers
+            rk_packed = jax.lax.optimization_barrier(rk_packed)
+        else:
+            rk_packed = k_in
         rk = aesv.rk_masks_from_packed(rk_packed, n_lanes)
         if use_pallas:
             from ..crypto import aes_pallas
@@ -152,6 +167,10 @@ class DeviceEngine:
             else:
                 use_pallas = bool(tuned.get("use_pallas", False))
         self.use_pallas = use_pallas
+        # Device-side AES key-schedule expansion (8x less link transfer);
+        # XLA:CPU compiles the in-program schedule pathologically, so CPU
+        # engines keep host expansion.
+        self._expand_dev = self.device.platform != "cpu"
         # Fused Pallas SHA-256 for the σ choose_k streams: default on for
         # accelerator devices (the XLA op-per-round path is ~100x off VPU
         # speed of light), off on CPU where Pallas TPU kernels can't run.
@@ -239,7 +258,18 @@ class DeviceEngine:
         """jit pinned to the engine's device, or GSPMD-sharded over the dp
         mesh when one is attached (in/out_specs are PartitionSpecs)."""
         if self.mesh is None:
-            return jax.jit(fn, device=self.device)
+            # jax.default_device (not the deprecated jit(device=...) arg,
+            # whose legacy lowering path compiles the in-program AES key
+            # schedule pathologically slowly) pins uncommitted inputs and
+            # execution to the engine's device.
+            jfn = jax.jit(fn)
+            dev = self.device
+
+            def call(*args):
+                with jax.default_device(dev):
+                    return jfn(*args)
+
+            return call
 
         def ns(sp):
             # PartitionSpec subclasses tuple — check it before containers
@@ -276,6 +306,10 @@ class DeviceEngine:
         fn = self._prf_fn_cache.get(n_pad)
         if fn is not None:
             return fn
+        # keys input layout depends on where the schedule expands:
+        # raw [n, 32] u8 (device expansion) -> dp over the lane axis;
+        # packed planes [1920, n/32] (host expansion) -> dp over columns.
+        kspec = P("dp", None) if self._expand_dev else P(None, "dp")
         if self.mesh is not None and self._s32_tp:
             # Real-ops LPN-tp: shard_map over (dp, tp) with the secret
             # sharded P('tp'); each rank ANDs its word slice of every
@@ -285,20 +319,21 @@ class DeviceEngine:
 
             nloc = n_pad // self.n_dev
             body = prf_program(self.prm, nloc, self.use_pallas,
-                               tp_axis="tp")
+                               tp_axis="tp",
+                               expand_on_device=self._expand_dev)
             fn = jax.jit(shard_map(
                 body, mesh=self.mesh,
-                in_specs=(P(None, "dp"), P("dp"), P("dp"),
-                          P(None, "dp"), P("dp"), P("dp"), P("tp")),
+                in_specs=(kspec, P("dp"), P("dp"),
+                          kspec, P("dp"), P("dp"), P("tp")),
                 out_specs=(P("dp", None), P("dp")),
                 check_rep=False,
             ))
         else:
             fn = self._jit(
-                prf_program(self.prm, n_pad, self.use_pallas),
-                # rk [1920, n/32] lane-packs 32 lanes per column: dp on axis 1
-                in_specs=(P(None, "dp"), P("dp"), P("dp"),
-                          P(None, "dp"), P("dp"), P("dp"), P()),
+                prf_program(self.prm, n_pad, self.use_pallas,
+                            expand_on_device=self._expand_dev),
+                in_specs=(kspec, P("dp"), P("dp"),
+                          kspec, P("dp"), P("dp"), P()),
                 out_specs=(P("dp", None), P("dp")),
             )
         self._prf_fn_cache[n_pad] = fn
@@ -337,19 +372,23 @@ class DeviceEngine:
         return np.asarray(r), np.asarray(rej)
 
     def _prf_chunk(self, keys, nonces, toep_keys, toep_nonces):
-        """One padded chunk -> device-resident (limbs, rej); no host sync."""
+        """One padded chunk -> device-resident (limbs, rej); no host sync.
+
+        On accelerators the raw 32-byte keys ship to the device and the
+        AES-256 schedule expands in-program (prf_program); the CPU backend
+        keeps host expansion (see prf_program docstring)."""
         N = keys.shape[0]
         n_pad = self._pad_lanes(N)
 
         def prep(kb, nn):
             kb_p = np.zeros((n_pad, 32), dtype=np.uint8)
             kb_p[:N] = kb
-            rk = aesv.expand_keys_packed(kb_p)
+            k_in = kb_p if self._expand_dev else aesv.expand_keys_packed(kb_p)
             nlo = np.zeros(n_pad, dtype=U32)
             nhi = np.zeros(n_pad, dtype=U32)
             nlo[:N] = (nn & np.uint64(0xFFFFFFFF)).astype(U32)
             nhi[:N] = (nn >> np.uint64(32)).astype(U32)
-            return rk, nlo, nhi
+            return k_in, nlo, nhi
 
         rk, nlo, nhi = prep(keys, nonces)
         trk, tnlo, tnhi = prep(toep_keys, toep_nonces)
