@@ -318,8 +318,20 @@ def main():
         }
         return per_s, warm
 
-    remaining = BUDGET - (time.time() - T0)
-    dev = phase("device-init", init_device, min(120.0, max(20.0, remaining - 90)))
+    # The tunneled backend wedges transiently, especially right after
+    # another process released it — one retry with a cooldown recovers it
+    # far more often than a single longer wait (observed repeatedly).
+    dev = None
+    for attempt in range(2):
+        remaining = BUDGET - (time.time() - T0)
+        if remaining < 150:
+            break
+        dev = phase(f"device-init{'-retry' if attempt else ''}", init_device,
+                    min(110.0, max(20.0, remaining - 120)))
+        if dev is not None:
+            break
+        log("device init failed; cooling down 15s before retry")
+        time.sleep(15)
     device_ok = dev is not None
     if not device_ok:
         dev_cancelled.set()
