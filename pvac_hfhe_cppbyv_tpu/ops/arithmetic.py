@@ -37,6 +37,11 @@ def ct_add_batch(pk: PubKey,
     framework trailed the single-threaded reference) amortizes by doing
     ONE concatenate per edge column across the whole batch and handing each
     output a zero-copy view."""
+    return _add_batch(pk, pairs, negate_b=False)
+
+
+def _add_batch(pk: PubKey, pairs: list[tuple[Cipher, Cipher]],
+               negate_b: bool) -> list[Cipher]:
     from ..types import StackedSigma
 
     hostish = (np.ndarray, StackedSigma)
@@ -45,6 +50,8 @@ def ct_add_batch(pk: PubKey,
         for a, b in pairs
     )
     if not fast:
+        if negate_b:
+            return [ct_add(pk, a, ct_neg(pk, b)) for a, b in pairs]
         return [ct_add(pk, a, b) for a, b in pairs]
     lid_parts, idx_parts, ch_parts, w_parts, sg_parts = [], [], [], [], []
     layers_list, sizes, part_off, part_sz = [], [], [], []
@@ -103,6 +110,16 @@ def ct_add_batch(pk: PubKey,
     idx_all = np.concatenate(idx_parts)
     ch_all = np.concatenate(ch_parts)
     w_all = np.concatenate(w_parts)
+    if negate_b:
+        # sub = add with every B-side weight negated; parts alternate
+        # [a0, b0, a1, b1, ...] so one repeat-mask selects all B rows and
+        # ONE field multiply negates them across the whole batch
+        # (reference: arithmetic.hpp:43-45 does per-edge fp_mul per call).
+        bmask = np.repeat(
+            np.tile(np.array([False, True]), len(pairs)), part_sz)
+        bw = w_all[bmask]
+        neg1 = np.broadcast_to(FV.from_ints([F.P - 1])[0], bw.shape)
+        w_all[bmask] = FV.mul(bw, neg1)
     # Batch-wide layer-liveness precheck: compact_layers (mandatory per the
     # reference, arithmetic.hpp:29) is a no-op whenever every layer is
     # directly edge-referenced.  One bincount over globalized layer ids
@@ -138,19 +155,11 @@ def ct_add_batch(pk: PubKey,
 
 def ct_sub_batch(pk: PubKey,
                  pairs: list[tuple[Cipher, Cipher]]) -> list[Cipher]:
-    """Batched ct_sub = ct_add_batch with every B negated in ONE field
-    multiply across the batch (reference: arithmetic.hpp:43-45)."""
+    """Batched ct_sub = ct_add_batch with every B-side weight negated in
+    ONE field multiply across the batch (reference: arithmetic.hpp:43-45)."""
     if not pairs:
         return []
-    bw = np.concatenate([b.w for _, b in pairs])
-    neg1 = np.broadcast_to(FV.from_ints([F.P - 1])[0], bw.shape)
-    bw_neg = np.split(FV.mul(bw, neg1),
-                      np.cumsum([b.n_edges for _, b in pairs])[:-1])
-    negs = []
-    for (a, b), wn in zip(pairs, bw_neg):
-        nb = Cipher(b.layers, b.layer_id, b.idx, b.ch, wn, b.sigma)
-        negs.append((a, nb))
-    return ct_add_batch(pk, negs)
+    return _add_batch(pk, pairs, negate_b=True)
 
 
 def ct_scale(pk: PubKey, A: Cipher, s: int) -> Cipher:
