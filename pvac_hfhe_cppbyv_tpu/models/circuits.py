@@ -74,14 +74,62 @@ def power_chain(pk: PubKey, x: Cipher, e: int,
 
 
 def sum_chain(pk: PubKey, cts: list[Cipher]) -> Cipher:
-    """Balanced-tree sum of many ciphertexts (log-depth layer growth)."""
+    """Balanced-tree sum of many ciphertexts (log-depth layer growth).
+
+    Each tree level runs as ONE ct_add_batch call, so an n-leaf sum costs
+    ceil(log2 n) batched rounds instead of n-1 python-dispatch adds."""
+    from ..ops.arithmetic import ct_add_batch
+
     assert cts
     layer = list(cts)
     while len(layer) > 1:
-        nxt = []
-        for i in range(0, len(layer) - 1, 2):
-            nxt.append(ct_add(pk, layer[i], layer[i + 1]))
+        pairs = [(layer[i], layer[i + 1])
+                 for i in range(0, len(layer) - 1, 2)]
+        nxt = ct_add_batch(pk, pairs)
         if len(layer) % 2:
             nxt.append(layer[-1])
         layer = nxt
     return layer[0]
+
+
+def dot_product(pk: PubKey, xs: list[Cipher], ys: list[Cipher],
+                ek: EvalKey | None = None) -> Cipher:
+    """Encrypted <x, y> = sum_i xs[i]*ys[i]: the products run as one
+    ct_mul_batch (each product's cross-aggregation and σ generation
+    batched/pipelined on the engine), then a batched tree sum."""
+    from ..ops.arithmetic import ct_mul_batch
+
+    assert xs and len(xs) == len(ys)
+    prods = ct_mul_batch(pk, list(zip(xs, ys)))
+    if ek is not None:
+        prods = [ct_recrypt(pk, ek, p) for p in prods]
+    return sum_chain(pk, prods)
+
+
+def mean_and_scaled_variance(pk: PubKey, cts: list[Cipher],
+                             ek: EvalKey | None = None
+                             ) -> tuple[Cipher, Cipher]:
+    """Encrypted aggregate statistics over n samples x_i:
+
+    returns (S, V) with S = sum x_i  (mean = S / n, a dec-side division or
+    ct_div_const) and V = n * sum x_i^2 - S^2  (= n^2 * variance), computed
+    entirely homomorphically — the standard one-pass aggregation shape."""
+    from ..ops.arithmetic import ct_mul_batch, ct_sub
+
+    n = len(cts)
+    assert n >= 1
+    S = sum_chain(pk, cts)
+    sq = ct_mul_batch(pk, [(c, c) for c in cts])
+    if ek is not None:
+        sq = [ct_recrypt(pk, ek, p) for p in sq]
+    sum_sq = sum_chain(pk, sq)
+    S2 = ct_mul(pk, S, S)
+    return S, ct_sub(pk, ct_scale(pk, sum_sq, n), S2)
+
+
+def matvec(pk: PubKey, enc_vec: list[Cipher],
+           matrix_rows: list[list[int]]) -> list[Cipher]:
+    """Plain matrix x encrypted vector: row_j . enc_vec via scalar scales
+    and one batched tree sum per row — the linear-layer primitive for
+    encrypted inference over public weights."""
+    return [linear_combination(pk, enc_vec, row) for row in matrix_rows]
