@@ -337,3 +337,18 @@ class TestServiceRoles:
         r = op_report(pk, sk, batch=4)
         assert set(r) == {"enc_value_us", "dec_value_us", "ct_add_us", "ct_mul_us"}
         assert all(v > 0 for v in r.values())
+
+
+class TestPipelinedEnc:
+    def test_enc_value_batch_pipelined_chunks(self, keys):
+        """The software-pipelined multi-chunk path (chunk i+1's device
+        work dispatched before chunk i's finalize) must decrypt exactly
+        like the single-batch path."""
+        pk, sk = keys
+        vals = list(range(41))
+        cts = pvac.enc_value_batch(pk, sk, vals, pipeline_chunk=16)
+        assert pvac.dec_value_batch(pk, sk, cts) == vals
+        # and interoperate with everything downstream
+        s = pvac.ct_add(pk, cts[3], cts[5])
+        m = pvac.ct_mul(pk, cts[2], cts[4])
+        assert pvac.dec_value_batch(pk, sk, [s, m]) == [8, 8]
