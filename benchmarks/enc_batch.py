@@ -118,7 +118,7 @@ def main():
 
         path = pathlib.Path(__file__).resolve().parent.parent / "docs" / \
             f"enc_batch_{args.n}.json"
-        path.write_text(json.dumps({
+        rec = {
             "date": time.strftime("%Y-%m-%d %H:%M:%S"),
             "device": str(jax.devices()[0]),
             "n": args.n,
@@ -128,7 +128,20 @@ def main():
             "ct_per_s": round(args.n / el, 1),
             "prf_cores_per_s": round(cores / el),
             "aes_blocks_per_s": round(blocks / el),
-        }, indent=1))
+        }
+        # preserve prior runs: published figures must stay traceable even
+        # after the headline entry is superseded
+        hist = []
+        if path.exists():
+            try:
+                old = json.loads(path.read_text())
+                hist = old.get("history", [])
+                hist.append({"date": old["date"], "ct_per_s": old["ct_per_s"],
+                             "chunk": old.get("chunk")})
+            except Exception:
+                pass
+        rec["history"] = hist
+        path.write_text(json.dumps(rec, indent=1))
         print(f"wrote {path}")
 
 
