@@ -318,20 +318,22 @@ def main():
         }
         return per_s, warm
 
-    # The tunneled backend wedges transiently, especially right after
-    # another process released it — one retry with a cooldown recovers it
-    # far more often than a single longer wait (observed repeatedly).
+    # The tunneled backend wedges transiently, especially in the first
+    # minutes after another process released it (observed repeatedly: the
+    # wedge clears after a cooldown far more often than during a longer
+    # single wait).  Retry with growing cooldowns while the budget allows.
     dev = None
-    for attempt in range(2):
+    for attempt in range(3):
         remaining = BUDGET - (time.time() - T0)
         if remaining < 150:
             break
-        dev = phase(f"device-init{'-retry' if attempt else ''}", init_device,
-                    min(110.0, max(20.0, remaining - 120)))
+        dev = phase(f"device-init{f'-retry{attempt}' if attempt else ''}",
+                    init_device, min(90.0, max(20.0, remaining - 130)))
         if dev is not None:
             break
-        log("device init failed; cooling down 15s before retry")
-        time.sleep(15)
+        cool = 20 + 25 * attempt
+        log(f"device init failed; cooling down {cool}s before retry")
+        time.sleep(cool)
     device_ok = dev is not None
     if not device_ok:
         dev_cancelled.set()

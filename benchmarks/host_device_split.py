@@ -75,10 +75,14 @@ def main():
     eng.drain()
     warm_s = time.time() - t0
     log(f"enc warm: {warm_s:.1f}s")
-    t0 = time.time()
-    cts = pvac.enc_value_batch(pk, sk, vals)
-    eng.drain()  # the timed window must cover in-flight sigma chunks
-    t_total = time.time() - t0
+    # min-of-reps: the shared host has multi-second noise spikes; min is
+    # the honest cost estimate (same harness spirit as bench.py)
+    t_total = float("inf")
+    for r in range(3):
+        t0 = time.time()
+        cts = pvac.enc_value_batch(pk, sk, [v + r for v in vals])
+        eng.drain()  # the timed window must cover in-flight sigma chunks
+        t_total = min(t_total, time.time() - t0)
     assert pvac.dec_value_batch(pk, sk, cts[:2]) == vals[:2]
 
     # --- reconstruct the device programs the batch dispatches ---

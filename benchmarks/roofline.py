@@ -262,15 +262,22 @@ def main():
         eng = DeviceEngine(pk, sk, device=dev)
         eng.use_pallas_sha = autotune["use_pallas_sha"]
         Es = eng.SIGMA_CHUNK
+        # production-like layer structure: a few hundred distinct layer
+        # seeds shared by many edges, with the layer-table passthrough the
+        # real ops use (a 16K-distinct-seed batch would exercise a 64K-row
+        # padded seed table no production batch ever hits)
+        U = 256
+        ltab = rng.integers(0, 1 << 63, (U, 3), dtype=np.uint64)
+        lid = rng.integers(0, U, Es, dtype=np.int64)
         words = np.zeros((Es, 7), dtype=np.uint64)
         words[:, 0] = np.uint64(pk.canon_tag)
-        words[:, 1:4] = rng.integers(0, 1 << 63, (Es, 3), dtype=np.uint64)
+        words[:, 1:4] = ltab[lid]
         words[:, 4] = rng.integers(0, prm.B, Es, dtype=np.uint64)
         words[:, 5] = rng.integers(0, 2, Es, dtype=np.uint64)
         words[:, 6] = rng.integers(0, 1 << 63, Es, dtype=np.uint64)
 
         def sig_once():
-            s, f, r = eng.sigma(words)
+            s, f, r = eng.sigma(words, tab=(ltab, lid))
             return f
 
         sig_once()  # compile
