@@ -79,10 +79,12 @@ def main():
     # the honest cost estimate (same harness spirit as bench.py)
     t_total = float("inf")
     for r in range(3):
+        rep_vals = [v + r for v in vals]
         t0 = time.time()
-        cts = pvac.enc_value_batch(pk, sk, [v + r for v in vals])
+        cts = pvac.enc_value_batch(pk, sk, rep_vals)
         eng.drain()  # the timed window must cover in-flight sigma chunks
         t_total = min(t_total, time.time() - t0)
+    vals = rep_vals  # decrypt spot-check matches the last rep's plaintexts
     assert pvac.dec_value_batch(pk, sk, cts[:2]) == vals[:2]
 
     # --- reconstruct the device programs the batch dispatches ---
