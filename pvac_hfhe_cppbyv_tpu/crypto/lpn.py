@@ -150,11 +150,23 @@ def n_ybits_blocks(prm) -> int:
 def derive_keys_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
                       dom_hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized derive_aes_key.  seeds_u64 [N, 3] uint64 (ztag, lo, hi),
-    dom_hashes [N] uint64 -> (keys [N, 32] uint8, nonces [N] uint64)."""
+    dom_hashes [N] uint64 -> (keys [N, 32] uint8, nonces [N] uint64).
+
+    Uses the threaded native SHA (SHA-NI) when available — this hash runs
+    once per PRF core on the hot encryption path; the numpy lane-SHA
+    below is the fallback/oracle."""
     prefix = _key_prefix(pk, sk)
-    layout = H.MsgLayout(prefix, 4)
     N = seeds_u64.shape[0]
     f64 = np.concatenate([seeds_u64, dom_hashes[:, None]], axis=1)
+    nonces = (dom_hashes ^ seeds_u64[:, 1]).astype(np.uint64)
+
+    from .. import native
+
+    keys_nat = native.sha256_fields(prefix, f64)
+    if keys_nat is not None:
+        return keys_nat, nonces
+
+    layout = H.MsgLayout(prefix, 4)
     fields = np.stack(
         [(f64 & np.uint64(0xFFFFFFFF)).astype(U32),
          (f64 >> np.uint64(32)).astype(U32)],

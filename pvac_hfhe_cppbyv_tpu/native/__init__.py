@@ -75,6 +75,7 @@ def lib():
     i8p = ctypes.POINTER(ctypes.c_int8)
     u64 = ctypes.c_uint64
     L.pvacn_sha256.argtypes = [u8p, u64, u8p]
+    L.pvacn_sha256_fields.argtypes = [u8p, u64, u64p, u64, u64, u8p]
     L.pvacn_shactr_streams.argtypes = [u8p, u64, u64p, u64, u64, u64, u64p]
     L.pvacn_choose_k.argtypes = [u8p, u64, u64p, u64, u64, ctypes.c_uint32, u64, i32p]
     L.pvacn_has_aesni.restype = ctypes.c_int
@@ -149,6 +150,23 @@ def bucket_reduce_modp(limbs: np.ndarray, bucket: np.ndarray,
     L.pvacn_bucket_reduce_modp(
         _ptr(limbs, ctypes.c_uint32), _ptr(bucket, ctypes.c_int64),
         limbs.shape[0], n_buckets, _ptr(out, ctypes.c_uint32),
+    )
+    return out
+
+
+def sha256_fields(prefix: bytes, fields: np.ndarray) -> np.ndarray | None:
+    """Batched SHA-256(prefix || le64-fields) digests: fields [N, F]
+    uint64 -> [N, 32] uint8 digest bytes (threaded SHA-NI when present)."""
+    L = lib()
+    if L is None:
+        return None
+    fields = np.ascontiguousarray(fields, dtype=np.uint64)
+    N, F = fields.shape
+    pre = np.frombuffer(prefix, dtype=np.uint8).copy()
+    out = np.empty((N, 32), dtype=np.uint8)
+    L.pvacn_sha256_fields(
+        _ptr(pre, ctypes.c_uint8), len(prefix),
+        _ptr(fields, ctypes.c_uint64), F, N, _ptr(out, ctypes.c_uint8),
     )
     return out
 

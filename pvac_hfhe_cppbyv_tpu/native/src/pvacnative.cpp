@@ -199,6 +199,43 @@ void pvacn_sha256(const uint8_t* data, uint64_t n, uint8_t out[32]) {
     sha_final(c, out);
 }
 
+// Batched SHA-256(prefix || le64(fields[l][0..n_fields))) digests, one
+// per lane, threaded — the AES key-derivation hash (reference
+// crypto/lpn.hpp:166-192), which otherwise runs as a lane-vectorized
+// numpy SHA on the hot encryption path.
+void pvacn_sha256_fields(
+    const uint8_t* prefix, uint64_t plen,
+    const uint64_t* fields, uint64_t n_fields,
+    uint64_t n_lanes, uint8_t* out /* [n_lanes, 32] */) {
+    auto work = [&](uint64_t l0, uint64_t l1) {
+        std::vector<uint8_t> msg(plen + 8 * n_fields);
+        memcpy(msg.data(), prefix, plen);
+        for (uint64_t l = l0; l < l1; l++) {
+            uint8_t* p = msg.data() + plen;
+            for (uint64_t f = 0; f < n_fields; f++) {
+                uint64_t x = fields[l * n_fields + f];
+                for (int i = 0; i < 8; i++) p[8 * f + i] = (uint8_t)(x >> (8 * i));
+            }
+            pvacn_sha256(msg.data(), (uint64_t)msg.size(), out + 32 * l);
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 1;
+    unsigned nt = (unsigned)(n_lanes < hw ? (n_lanes ? n_lanes : 1) : hw);
+    if (nt <= 1) {
+        work(0, n_lanes);
+        return;
+    }
+    std::vector<std::thread> ts;
+    uint64_t per = (n_lanes + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        uint64_t a = (uint64_t)t * per, b = a + per < n_lanes ? a + per : n_lanes;
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& th : ts) th.join();
+}
+
 // Multi-lane SHA-256-CTR u64 streams: for each lane l, refill c yields
 // SHA-256(label || le64(words[l])... || le64(c)) read as 4 LE u64s.
 void pvacn_shactr_streams(
