@@ -3,15 +3,23 @@
 PY ?= python
 
 .PHONY: test test-v test-q test-slow test-all bench native golden vectors \
-        multihost clean
+        multihost clean docs docs-check
 
-test:
+test: docs-check
 	$(PY) -m pytest tests/ -q
 
 # full tier incl. slow tests (timing uniformity, default-params H digest,
 # depth-3 squaring)
-test-all:
+test-all: docs-check
 	$(PY) -m pytest tests/ -q -m ""
+
+# regenerate README/SCALING headline blocks from benchmark artifacts
+docs:
+	$(PY) tools/update_docs.py
+
+# fail when a doc headline block lags its artifacts (VERDICT r4 #7)
+docs-check:
+	$(PY) tools/update_docs.py --check
 
 test-v:
 	PVAC_DBG=1 $(PY) -m pytest tests/ -v

@@ -265,6 +265,11 @@ def cores_from_streams_tp(u64s, top_u, s32_local, prm, axis_name="tp"):
     rows = _rows_per_core(prm)
     sw64 = prm.s_words64
     loc_w = s32_local.shape[0] // 2
+    tp_size = jax.lax.axis_size(axis_name)
+    assert loc_w * tp_size == sw64, (
+        f"LPN-tp slice misalignment: {tp_size} ranks x {loc_w} local u64 "
+        f"words != s_words64={sw64} (callers must shard whole u64 pairs)"
+    )
     t_idx = lax.axis_index(axis_name)
     stride = sw64 + 1
     base_idx = (np.arange(rows)[:, None] * stride

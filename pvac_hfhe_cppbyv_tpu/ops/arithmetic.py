@@ -37,6 +37,8 @@ def ct_add_batch(pk: PubKey,
     framework trailed the single-threaded reference) amortizes by doing
     ONE concatenate per edge column across the whole batch and handing each
     output a zero-copy view."""
+    if not pairs:
+        return []
     return _add_batch(pk, pairs, negate_b=False)
 
 

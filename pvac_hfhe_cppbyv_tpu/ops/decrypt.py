@@ -126,27 +126,59 @@ def dec_value_batch(pk: PubKey, sk: SecKey, cts: list[Cipher]) -> list[int]:
     flat = [r for Rs in all_Rs for r in Rs]
     Rinv_flat = (FV.inv(FV.from_ints(flat)) if flat
                  else np.zeros((0, 4), dtype=U32))
-    offs = 0
-    for C, Rs in zip(cts, all_Rs):
-        L = len(Rs)
-        Rinv = Rinv_flat[offs : offs + L]
-        offs += L
+    powg = pk.powg_limbs()  # [B, 4]
+    n_ct = len(cts)
+    # Signed edge sums batched ACROSS ciphertexts: one flattened edge
+    # stream with per-ct segment ids, so a batch of fresh cts (~36 edges
+    # each) costs a handful of numpy passes instead of a python loop with
+    # per-ct kernel dispatches (the loop dominated batched decryption).
+    # Chunked so deep-product cts (tens of millions of edges) keep a
+    # bounded working set; per-ct limb sums accumulate in uint64
+    # (< 2^31 addends of u32 limbs per ct by the edge budget).
+    lstarts = np.zeros(n_ct + 1, dtype=np.int64)
+    np.cumsum([len(Rs) for Rs in all_Rs], out=lstarts[1:])
+    accP = np.zeros((n_ct, 4), dtype=np.uint64)
+    accM = np.zeros((n_ct, 4), dtype=np.uint64)
+    CH = 1 << 22
+
+    def _accumulate_group(ids: list[int]) -> None:
+        w = np.concatenate([cts[i].w for i in ids])
+        idx = np.concatenate([cts[i].idx for i in ids])
+        glid = np.concatenate(
+            [lstarts[i] + cts[i].layer_id.astype(np.int64) for i in ids])
+        ch = np.concatenate([cts[i].ch for i in ids])
+        seg = np.repeat(np.asarray(ids, dtype=np.int64),
+                        [cts[i].n_edges for i in ids])
+        terms = FV.mul(FV.mul(w, powg[idx]), Rinv_flat[glid]).astype(
+            np.uint64)
+        pos = ch == SGN_P
+        np.add.at(accP, seg[pos], terms[pos])
+        np.add.at(accM, seg[~pos], terms[~pos])
+
+    group: list[int] = []
+    g_edges = 0
+    for i, C in enumerate(cts):
         if C.n_edges == 0:
-            out.append(0)
             continue
-        powg = pk.powg_limbs()  # [B, 4]
-        # signed sum, chunked so deep-product ciphertexts (tens of millions
-        # of edges) stay within a bounded working set; per-chunk limb sums
-        # accumulate in uint64 (chunk < 2^31 addends of u32 limbs).
-        accP = np.zeros(4, dtype=np.uint64)
-        accM = np.zeros(4, dtype=np.uint64)
-        CH = 1 << 22
-        for off in range(0, C.n_edges, CH):
-            sl = slice(off, off + CH)
-            terms = FV.mul(C.w[sl], powg[C.idx[sl]])
-            terms = FV.mul(terms, Rinv[C.layer_id[sl]])
-            pos = C.ch[sl] == SGN_P
-            accP += terms[pos].astype(np.uint64).sum(axis=0, dtype=np.uint64)
-            accM += terms[~pos].astype(np.uint64).sum(axis=0, dtype=np.uint64)
-        out.append(F.fp_sub(_limbs_to_int(accP), _limbs_to_int(accM)))
+        if C.n_edges > CH:
+            # huge deep-product ct: process alone in bounded slices
+            for off in range(0, C.n_edges, CH):
+                sl = slice(off, off + CH)
+                terms = FV.mul(FV.mul(C.w[sl], powg[C.idx[sl]]),
+                               Rinv_flat[lstarts[i] + C.layer_id[sl]])
+                pos = C.ch[sl] == SGN_P
+                accP[i] += terms[pos].astype(np.uint64).sum(
+                    axis=0, dtype=np.uint64)
+                accM[i] += terms[~pos].astype(np.uint64).sum(
+                    axis=0, dtype=np.uint64)
+            continue
+        if g_edges + C.n_edges > CH:
+            _accumulate_group(group)
+            group, g_edges = [], 0
+        group.append(i)
+        g_edges += C.n_edges
+    if group:
+        _accumulate_group(group)
+    for i in range(n_ct):
+        out.append(F.fp_sub(_limbs_to_int(accP[i]), _limbs_to_int(accM[i])))
     return out

@@ -197,8 +197,12 @@ class DeviceEngine:
             s32 = sk.s_words32().reshape(-1)
             # LPN-tp: the secret lives sharded P('tp') so the PRF
             # contraction — the hottest HBM read (SURVEY §6) — splits
-            # tp-ways in the real prf program (see _prf_fn).
-            self._s32_tp = (self.tp > 1 and s32.shape[0] % self.tp == 0)
+            # tp-ways in the real prf program (see _prf_fn).  The guard is
+            # on s_words64 (u64 words), not the flat u32 count: each rank's
+            # slice must hold whole (lo, hi) u64 pairs, or the contraction
+            # would misalign pairs and silently drop secret words.
+            self._s32_tp = (self.tp > 1
+                            and self.prm.s_words64 % self.tp == 0)
             if self._s32_tp:
                 self.s32_dev = jax.device_put(
                     s32, NamedSharding(self.mesh, P("tp")))
@@ -230,6 +234,12 @@ class DeviceEngine:
         # measured 3x slower (round 3), and each in-flight chunk pins
         # ~8 MB of device σ output.
         self._sigma_queue = []
+        # σ chunk failures observed by the pacing throttle: the op that
+        # dispatched the chunk has already returned a Cipher, so the
+        # failure is recorded here and re-raised at the next drain()
+        # (every benchmark window and materialization barrier) instead of
+        # being lost as a warning in a long run.
+        self._sigma_failures: list[Exception] = []
 
     # ------------------------------------------------------------------
     # placement helpers (single-device vs dp mesh)
@@ -315,18 +325,16 @@ class DeviceEngine:
             # sharded P('tp'); each rank ANDs its word slice of every
             # sample row and partial parities combine with one psum
             # (lpn.cores_from_streams_tp; pattern proven in sharding.py).
-            from jax.experimental.shard_map import shard_map
-
             nloc = n_pad // self.n_dev
             body = prf_program(self.prm, nloc, self.use_pallas,
                                tp_axis="tp",
                                expand_on_device=self._expand_dev)
-            fn = jax.jit(shard_map(
+            fn = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(kspec, P("dp"), P("dp"),
                           kspec, P("dp"), P("dp"), P("tp")),
                 out_specs=(P("dp", None), P("dp")),
-                check_rep=False,
+                check_vma=False,
             ))
         else:
             fn = self._jit(
@@ -602,11 +610,20 @@ class DeviceEngine:
     def drain(self) -> None:
         """Wait for every queued σ chunk (the queue is in-order, so waiting
         on the newest completes them all).  Benchmarks call this so a timed
-        window cannot hide still-in-flight σ work."""
+        window cannot hide still-in-flight σ work.  Re-raises any chunk
+        failure the pacing throttle observed since the last drain — chunk
+        programs are independent, so a dead chunk does NOT fail the newest
+        handle and would otherwise vanish into a warning."""
         if self._sigma_queue:
             last = self._sigma_queue[-1]
             self._sigma_queue.clear()
             np.asarray(last)
+        if self._sigma_failures:
+            errs, self._sigma_failures = self._sigma_failures, []
+            raise RuntimeError(
+                f"{len(errs)} queued sigma chunk(s) failed since the last "
+                f"drain; first failure: {errs[0]!r}"
+            ) from errs[0]
 
     def _throttle(self) -> None:
         """Bound the σ dispatch queue: wait on the OLDEST outstanding chunk
@@ -619,11 +636,15 @@ class DeviceEngine:
             except Exception as e:  # noqa: BLE001
                 # The throttle fetch is advisory (its only job is pacing),
                 # but a failure here usually means that σ chunk's program
-                # died — surface it instead of losing the trace.
+                # died.  Record it for the next drain() to re-raise (the
+                # dispatching op has already returned its Cipher) and warn
+                # immediately so the trace isn't lost if nobody drains.
                 import warnings
 
+                self._sigma_failures.append(e)
                 warnings.warn(
-                    f"queued sigma chunk failed during throttle wait: {e!r}",
+                    f"queued sigma chunk failed during throttle wait "
+                    f"(will re-raise at drain): {e!r}",
                     RuntimeWarning, stacklevel=2,
                 )
 

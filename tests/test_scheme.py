@@ -62,6 +62,9 @@ class TestBasics:
             want = (pvac.dec_value(pk, sk, a)
                     - pvac.dec_value(pk, sk, b)) % P
             assert pvac.dec_value(pk, sk, C) == want
+        # empty batches: both ops return [] (consistent public API)
+        assert pvac.ct_add_batch(pk, []) == []
+        assert pvac.ct_sub_batch(pk, []) == []
         # stacked σ roundtrips through the wire format
         import io as _io  # noqa: F401
         from pvac_hfhe_cppbyv_tpu.io import serial
