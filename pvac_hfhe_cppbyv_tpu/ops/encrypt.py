@@ -673,21 +673,27 @@ def _build_cipher_from_plan(pk: PubKey, plan: _LayerPlan, weights: np.ndarray,
     )
 
 
-def _shuffle_edges(C: Cipher) -> None:
-    """Fisher-Yates on the edge table (encrypt.hpp:155-160)."""
-    n = C.n_edges
-    if n < 2:
-        return
-    perm = np.arange(n)
-    draws = csprng_u64_array(n - 1)
-    for i in range(n - 1, 0, -1):
-        j = int(draws[n - 1 - i]) % (i + 1)
-        perm[i], perm[j] = perm[j], perm[i]
+def _apply_perm(C: Cipher, perm: np.ndarray) -> None:
     C.layer_id = C.layer_id[perm]
     C.idx = C.idx[perm]
     C.ch = C.ch[perm]
     C.w = C.w[perm]
     C.sigma = C.sigma[perm]
+
+
+def _shuffle_edges(C: Cipher, keys: np.ndarray | None = None) -> None:
+    """Uniform random edge shuffle (reference: Fisher-Yates,
+    encrypt.hpp:155-160).  Order is camouflage only — the scheme depends on
+    each edge's distribution, never on table order — so argsort of uniform
+    u64 CSPRNG keys (a uniform permutation up to measure-zero key ties)
+    replaces the python-loop Fisher-Yates; ``keys`` lets a batch caller
+    draw one CSPRNG block for all its ciphertexts."""
+    n = C.n_edges
+    if n < 2:
+        return
+    if keys is None:
+        keys = csprng_u64_array(n)
+    _apply_perm(C, np.argsort(keys, kind="stable"))
 
 
 def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
@@ -706,12 +712,17 @@ def enc_fp_depth_batch(pk: PubKey, sk: SecKey, values: list[int],
 
 
 def enc_fp_depth_batch_start(pk: PubKey, sk: SecKey, values: list[int],
-                             depth_hints: list[int]):
+                             depth_hints: list[int], pair_shares: bool = False):
     """Dispatch half of enc_fp_depth_batch: PRF + σ device programs are
     in flight when this returns; the returned finalize() fetches the cores,
     computes weights and assembles the Ciphers.  A caller encrypting many
     chunks overlaps chunk i's host finalize with chunk i+1's device work
-    (see enc_value_batch's internal pipeline)."""
+    (see enc_value_batch's internal pipeline).
+
+    With pair_shares=True consecutive plans (2i, 2i+1) assemble directly
+    into one two-BASE-layer Cipher — the fused equivalent of per-share
+    Ciphers + combine_ciphers (encrypt.hpp:260-279), skipping the
+    intermediate objects and per-share guard/compact passes."""
     plans = [_LayerPlan(pk, v, d) for v, d in zip(values, depth_hints)]
     reqs = []
     spans = []
@@ -741,11 +752,41 @@ def enc_fp_depth_batch_start(pk: PubKey, sk: SecKey, values: list[int],
                 LazySigma(sig_all, vrows[offsets[i] : offsets[i + 1]], fixer)
                 for i in range(len(plans))
             ]
+        # one CSPRNG block covers every ciphertext's shuffle keys
+        nks = [len(p.skel_idx) for p in plans]
+        kstarts = np.zeros(len(plans) + 1, dtype=np.int64)
+        np.cumsum(nks, out=kstarts[1:])
+        all_keys = csprng_u64_array(int(kstarts[-1]))
         out = []
-        for p, ws, sig in zip(plans, weights, views):
+        if pair_shares:
+            for i in range(0, len(plans), 2):
+                pa, pb = plans[i], plans[i + 1]
+                na, nb = nks[i], nks[i + 1]
+                perm_a = np.argsort(all_keys[kstarts[i] : kstarts[i] + na],
+                                    kind="stable")
+                perm_b = np.argsort(all_keys[kstarts[i + 1] : kstarts[i + 1] + nb],
+                                    kind="stable")
+                lid = np.zeros(na + nb, dtype=np.int32)
+                lid[na:] = 1
+                C = Cipher(
+                    [Layer(rule=RRULE_BASE, seed=pa.seed),
+                     Layer(rule=RRULE_BASE, seed=pb.seed)],
+                    lid,
+                    np.concatenate([pa.skel_idx[perm_a],
+                                    pb.skel_idx[perm_b]]),
+                    np.concatenate([pa.skel_ch[perm_a], pb.skel_ch[perm_b]]),
+                    np.concatenate([np.asarray(weights[i], dtype=U32)[perm_a],
+                                    np.asarray(weights[i + 1],
+                                               dtype=U32)[perm_b]]),
+                    _concat_sigma(views[i][perm_a], views[i + 1][perm_b]),
+                )
+                guard_budget(pk, C, "enc")
+                out.append(C)
+            return out
+        for i, (p, ws, sig) in enumerate(zip(plans, weights, views)):
             C = _build_cipher_from_plan(pk, p, ws, sig)
             guard_budget(pk, C, "enc")
-            _shuffle_edges(C)
+            _shuffle_edges(C, all_keys[kstarts[i] : kstarts[i + 1]])
             out.append(C)
         return out
 
@@ -819,26 +860,22 @@ def enc_value_batch(pk: PubKey, sk: SecKey, values: list[int],
             out.append(F.fp_neg(mask))
         return out
 
-    def combine(vs, shares):
-        return [
-            combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
-            for i in range(len(vs))
-        ]
-
     n = len(values)
     if n <= pipeline_chunk:
-        shares = enc_fp_depth_batch(
-            pk, sk, shares_of(values), [depth_hint] * (2 * n))
-        return combine(values, shares)
+        fin = enc_fp_depth_batch_start(
+            pk, sk, shares_of(values), [depth_hint] * (2 * n),
+            pair_shares=True)
+        return fin()
 
     out: list[Cipher] = []
-    prev = None  # (chunk values, finalize)
+    prev = None  # finalize of the previous chunk
     for off in range(0, n, pipeline_chunk):
         vs = values[off : off + pipeline_chunk]
         fin = enc_fp_depth_batch_start(
-            pk, sk, shares_of(vs), [depth_hint] * (2 * len(vs)))
+            pk, sk, shares_of(vs), [depth_hint] * (2 * len(vs)),
+            pair_shares=True)
         if prev is not None:
-            out.extend(combine(prev[0], prev[1]()))
-        prev = (vs, fin)
-    out.extend(combine(prev[0], prev[1]()))
+            out.extend(prev())
+        prev = fin
+    out.extend(prev())
     return out

@@ -181,18 +181,26 @@ class DeviceEngine:
             self.use_pallas_sha = bool(tuned["use_pallas_sha"])
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
-        self.H_dev = (
-            self._put_H(pk.H) if pk.H is not None else None
-        )
-        # H with an extra all-zero row: masked σ gathers index it freely
-        self.Hx_dev = (
-            self._put_H(
+        # Unified σ gather table [n_bits + 1 + m_bits, mw]:
+        #   rows 0..n_bits-1   = H columns (the x_seed draws),
+        #   row  n_bits        = all-zero (masked-out draws land here),
+        #   rows n_bits+1 ..   = single-bit identity rows (noise draw v
+        #                        XORs exactly bit v).
+        # Both draw streams then share ONE gather-XOR accumulation — the
+        # separate [N, D, mw] one-hot noise stage of rounds 1-4 (a quarter
+        # of the σ program's time) disappears into the same thin gathers.
+        if pk.H is not None:
+            m = self.prm.m_bits
+            mw = pk.H.shape[1]
+            ident = np.zeros((m, mw), dtype=pk.H.dtype)
+            ident[np.arange(m), np.arange(m) // 32] = (
+                np.uint32(1) << np.uint32(np.arange(m) % 32))
+            self.Hx_dev = self._put_H(
                 np.concatenate(
-                    [pk.H, np.zeros((1, pk.H.shape[1]), dtype=pk.H.dtype)]
-                )
+                    [pk.H, np.zeros((1, mw), dtype=pk.H.dtype), ident])
             )
-            if pk.H is not None else None
-        )
+        else:
+            self.Hx_dev = None
         if sk is not None:
             s32 = sk.s_words32().reshape(-1)
             # LPN-tp: the secret lives sharded P('tp') so the PRF
@@ -258,6 +266,12 @@ class DeviceEngine:
             return jax.device_put(
                 arr, NamedSharding(self.mesh, P(None, "tp")))
         return self._put_repl(arr)
+
+    @property
+    def H_dev(self):
+        """Routing flag kept for callers that check device-σ availability
+        (matrix.sigma_words_start); the gather table subsumes H."""
+        return self.Hx_dev
 
     @property
     def _wsp(self):
@@ -430,8 +444,10 @@ class DeviceEngine:
 
     @staticmethod
     def _sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw):
-        # Hx = H with one extra all-zero row at index n_bits: masked-out
-        # draws gather zeros, so the XOR accumulation needs no select.
+        # Hx = the unified gather table (see __init__): H columns, then an
+        # all-zero row at index n_bits (masked-out draws land there, so the
+        # XOR accumulation needs no select), then single-bit identity rows
+        # so the noise stream shares the same gather-XOR path.
         cvals, ctake, fb1 = shactr.draws_and_take(
             prm.x_col_wt, prm.n_bits, "pvac.dom.x_seed", lanes,
             pallas_sha=pallas_sha,
@@ -440,24 +456,27 @@ class DeviceEngine:
             prm.err_wt, prm.m_bits, "pvac.dom.noise", lanes,
             pallas_sha=pallas_sha,
         )
-        # XOR of the selected H columns, order-free: accumulate thin
-        # gathers over ALL D draws with non-selected draws redirected to
-        # the zero row.  Avoids both the [N, wt, mw] gathered tensor and
-        # the rank->slot scatter-select of choose_k_batch.
-        idx = jnp.where(ctake, cvals, np.int32(prm.n_bits))
-        sig = Hx[idx[:, 0]]
-        for j in range(1, idx.shape[1]):
-            sig = sig ^ Hx[idx[:, j]]
-        # noise bits via fused one-hot accumulation (selected values are
-        # unique -> bits disjoint -> sum == xor); beats scatter ~2.4x.
-        word = nvals // 32                      # [N, D]
-        bit = (nvals % 32).astype(U32)
-        masks = jnp.where(ntake, (U32(1) << bit).astype(U32), U32(0))
-        hit = word[:, :, None] == jnp.arange(mw, dtype=np.int32)[None, None, :]
-        contrib = jnp.where(hit, masks[:, :, None], U32(0)).sum(
-            axis=1, dtype=U32
-        )
-        return sig ^ contrib, fb1 | fb2
+        zero = np.int32(prm.n_bits)
+        idxc = jnp.where(ctake, cvals, zero)
+        idxn = jnp.where(ntake, nvals + np.int32(prm.n_bits + 1), zero)
+        idx = jnp.concatenate([idxc, idxn], axis=1)  # [N, Dc+Dn]
+        # XOR of the selected rows, order-free.  G interleaved accumulators
+        # break what was a 288-gather serial dependency chain (each
+        # gather+XOR waited on the previous) into 8 independent chains the
+        # scheduler can overlap; a short tree XOR joins them.
+        D = idx.shape[1]
+        G = 8
+        accs = []
+        for g in range(G):
+            cols = list(range(g, D, G))
+            acc = Hx[idx[:, cols[0]]]
+            for j in cols[1:]:
+                acc = acc ^ Hx[idx[:, j]]
+            accs.append(acc)
+        while len(accs) > 1:
+            accs = [a ^ b for a, b in zip(accs[0::2], accs[1::2])] + (
+                [accs[-1]] if len(accs) % 2 else [])
+        return accs[0], fb1 | fb2
 
     def _sigma_compact_fn(self, n_pad: int, u_pad: int):
         """Compact-transfer σ program: per-edge data arrives as one packed
