@@ -190,7 +190,19 @@ class MsgLayout:
         tmpl[-8:] = struct.pack(">Q", self.msg_len * 8)
         self.template = np.frombuffer(bytes(tmpl), dtype=U8).copy()
 
-    def build_blocks(self, fields):
+    def template_words(self) -> np.ndarray:
+        """The message template as [n_blocks*16] big-endian u32 words —
+        pass as `tmpl_words` to :meth:`build_blocks` when the prefix holds
+        key material: shipping it as a program INPUT keeps the compiled
+        HLO identical across keypairs (compile-cache friendly)."""
+        return (
+            (self.template[0::4].astype(np.uint32) << 24)
+            | (self.template[1::4].astype(np.uint32) << 16)
+            | (self.template[2::4].astype(np.uint32) << 8)
+            | (self.template[3::4].astype(np.uint32))
+        )
+
+    def build_blocks(self, fields, tmpl_words=None):
         """fields: [..., n_fields, 2] uint32 (lo32, hi32) of each u64 field.
         Returns [..., n_blocks, 16] uint32 big-endian message words."""
         xp = np if type(fields).__module__.startswith("numpy") else __import__(
@@ -200,13 +212,9 @@ class MsgLayout:
         nb = self.n_blocks
         # Assemble as big-endian u32 words directly.  Word w covers template
         # bytes 4w..4w+3.
-        tmpl_words = (
-            (self.template[0::4].astype(np.uint32) << 24)
-            | (self.template[1::4].astype(np.uint32) << 16)
-            | (self.template[2::4].astype(np.uint32) << 8)
-            | (self.template[3::4].astype(np.uint32))
-        )  # [nb*16]
-        words = xp.broadcast_to(xp.asarray(tmpl_words), (*batch, nb * 16))
+        if tmpl_words is None:
+            tmpl_words = xp.asarray(self.template_words())  # [nb*16]
+        words = xp.broadcast_to(tmpl_words, (*batch, nb * 16))
         # Overlay the u64 fields.  Field f occupies bytes off..off+7 with
         # little-endian byte order: byte j = (u64 >> 8j) & 0xff.
         out = words

@@ -187,6 +187,37 @@ def derive_keys_batch(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
     return keys, nonces
 
 
+def derive_layout(pk: PubKey, sk: SecKey) -> "H.MsgLayout":
+    """The derive_aes_key message layout (prefix = prf_k||canon||H_digest,
+    4 u64 fields: ztag, nonce_lo, nonce_hi, dom_hash)."""
+    return H.MsgLayout(_key_prefix(pk, sk), 4)
+
+
+def derive_keys_xp(layout, tmpl_words, fields4):
+    """Backend-agnostic derive_aes_key core: fields4 [..., 4, 2] u32
+    (ztag, nonce_lo, nonce_hi, dom_hash as lo/hi pairs) -> digest bytes
+    [..., 32] u8.  tmpl_words is :meth:`MsgLayout.template_words` shipped
+    as data so the compiled program is keypair-independent.  Used by the
+    device engine to derive AES keys ON DEVICE (the raw seeds cost ~3x
+    less link transfer than 32-byte keys, and the host-side SHA pass
+    disappears); bit-identical to derive_keys_batch."""
+    xp = _xp_of(fields4)
+    blocks = layout.build_blocks(fields4, tmpl_words)
+    state = H.sha256_init_state(fields4.shape[:-2], xp)
+    for b in range(layout.n_blocks):
+        state = H.sha256_compress(state, blocks[..., b, :])
+    byts = xp.stack(
+        [
+            (state >> U32(24)) & U32(0xFF),
+            (state >> U32(16)) & U32(0xFF),
+            (state >> U32(8)) & U32(0xFF),
+            state & U32(0xFF),
+        ],
+        axis=-1,
+    )  # [..., 8, 4] big-endian digest byte order
+    return byts.reshape(*fields4.shape[:-2], 32).astype(np.uint8)
+
+
 def _xp_of(a):
     if type(a).__module__.startswith("numpy"):
         return np
@@ -337,6 +368,19 @@ def prf_cores_batch_start(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
     N = seeds_u64.shape[0]
     nblocks = n_ybits_blocks(prm)
 
+    engine = getattr(pk, "_engine", None)
+    if (engine is not None and engine.s32_dev is not None
+            and getattr(engine, "_derive_dev", False)):
+        # derive-on-device: ship the raw seeds + dom hashes (~3x less
+        # link transfer than two 32-byte keys per core) and skip the host
+        # SHA pass entirely
+        r_dev, rej_dev = engine.prf_cores_async_seeds(seeds_u64, dom_hashes)
+
+        def fetch():
+            return np.asarray(r_dev), np.asarray(rej_dev)[:, None]
+
+        return _prf_finalize(pk, sk, seeds_u64, dom_hashes, fetch)
+
     keys, nonces = derive_keys_batch(pk, sk, seeds_u64, dom_hashes)
     toep_keys, toep_base = derive_keys_batch(
         pk, sk, seeds_u64,
@@ -344,7 +388,6 @@ def prf_cores_batch_start(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
     )
     toep_nonces = toep_base ^ dom_hashes
 
-    engine = getattr(pk, "_engine", None)
     if engine is not None and engine.s32_dev is not None:
         r_dev, rej_dev = engine.prf_cores_async(
             keys, nonces, toep_keys, toep_nonces
@@ -370,6 +413,10 @@ def prf_cores_batch_start(pk: PubKey, sk: SecKey, seeds_u64: np.ndarray,
         def fetch():
             return r0, rej0
 
+    return _prf_finalize(pk, sk, seeds_u64, dom_hashes, fetch)
+
+
+def _prf_finalize(pk: PubKey, sk: SecKey, seeds_u64, dom_hashes, fetch):
     def finalize():
         r, rej = fetch()
         # exact fallback for bounded-rejection lanes

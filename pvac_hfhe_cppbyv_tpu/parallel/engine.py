@@ -48,7 +48,8 @@ def _load_autotune() -> dict:
 
 
 def prf_program(prm, n_lanes: int, use_pallas: bool = False,
-                tp_axis: str | None = None, expand_on_device: bool = True):
+                tp_axis: str | None = None, expand_on_device: bool = True,
+                derive_layout=None):
     """The single-chip prf_R-core forward program (jittable, pure).
 
     (keys [n, 32] u8, nlo, nhi [n], toep_keys [n, 32] u8, tnlo, tnhi, s32
@@ -69,6 +70,15 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
     n_lanes is the per-dp-rank lane count, s32 is the rank's LOCAL secret
     slice (P(tp_axis)), and the LPN contraction runs tensor-parallel with
     one psum of partial parities (lpn.cores_from_streams_tp).
+
+    With derive_layout set (an lpn.derive_layout MsgLayout; requires
+    expand_on_device), the AES keys themselves derive ON DEVICE: the
+    signature becomes (tmpl [nb*16] u32, seeds3 [n, 3, 2] u32, dh [n, 2]
+    u32, s32) and both the main and Toeplitz keys come from in-program
+    SHA-256 over the shipped seed fields — raw seeds cost ~3x less link
+    transfer than two 32-byte keys per core, and the host SHA pass
+    disappears.  tmpl carries the keypair-dependent message prefix as
+    DATA so the compiled HLO is keypair-independent.
     """
     nblocks = lpn.n_ybits_blocks(prm)
 
@@ -90,7 +100,7 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
         out = aesv.encrypt_planes(rk, planes)
         return aesv.planes_to_words(out, nb)
 
-    def run(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
+    def core(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
         words = _keystream_words(rk_packed, nlo, nhi, nblocks)  # [N, B, 4]
         lo = words[:, :, 0::2].reshape(n_lanes, -1)
         hi = words[:, :, 1::2].reshape(n_lanes, -1)
@@ -108,7 +118,29 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
                                                axis_name=tp_axis)
         return r, rej.any(axis=-1)
 
-    return run
+    if derive_layout is None:
+        return core
+
+    assert expand_on_device, "device key derivation implies device expansion"
+    TOEP = lpn.DOM_HASH[lpn.Dom.TOEP]
+    toep_c = np.array([TOEP & 0xFFFFFFFF, TOEP >> 32], dtype=U32)
+
+    def run_derive(tmpl, f3, dh, s32):
+        n = f3.shape[0]
+        tc = jnp.asarray(toep_c)
+        f_main = jnp.concatenate([f3, dh[:, None, :]], axis=1)  # [n, 4, 2]
+        f_toep = jnp.concatenate(
+            [f3, jnp.broadcast_to(tc[None, None, :], (n, 1, 2))], axis=1)
+        keys = lpn.derive_keys_xp(derive_layout, tmpl, f_main)
+        tkeys = lpn.derive_keys_xp(derive_layout, tmpl, f_toep)
+        # nonce = dom_hash ^ seed.nonce.lo; toep nonce = (TOEP ^ lo) ^ dom
+        nlo = dh[:, 0] ^ f3[:, 1, 0]
+        nhi = dh[:, 1] ^ f3[:, 1, 1]
+        tnlo = tc[0] ^ f3[:, 1, 0] ^ dh[:, 0]
+        tnhi = tc[1] ^ f3[:, 1, 1] ^ dh[:, 1]
+        return core(keys, nlo, nhi, tkeys, tnlo, tnhi, s32)
+
+    return run_derive
 
 
 class DeviceEngine:
@@ -171,6 +203,12 @@ class DeviceEngine:
         # XLA:CPU compiles the in-program schedule pathologically, so CPU
         # engines keep host expansion.
         self._expand_dev = self.device.platform != "cpu"
+        # Device-side key DERIVATION (in-program SHA-256 over shipped
+        # seeds): implies device expansion, so accelerator-only too.
+        self._derive_dev = self._expand_dev and sk is not None
+        if self._derive_dev:
+            self._dlayout = lpn.derive_layout(pk, sk)
+            self._tmpl_dev = self._put_repl(self._dlayout.template_words())
         # Fused Pallas SHA-256 for the σ choose_k streams: default on for
         # accelerator devices (the XLA op-per-round path is ~100x off VPU
         # speed of light), off on CPU where Pallas TPU kernels can't run.
@@ -326,14 +364,25 @@ class DeviceEngine:
     # prf_R cores
     # ------------------------------------------------------------------
 
-    def _prf_fn(self, n_pad: int):
-        fn = self._prf_fn_cache.get(n_pad)
+    def _prf_fn(self, n_pad: int, derive: bool = False):
+        key = (n_pad, derive)
+        fn = self._prf_fn_cache.get(key)
         if fn is not None:
             return fn
+        layout = self._dlayout if derive else None
         # keys input layout depends on where the schedule expands:
         # raw [n, 32] u8 (device expansion) -> dp over the lane axis;
         # packed planes [1920, n/32] (host expansion) -> dp over columns.
+        # In derive mode the inputs are (tmpl, seeds3, dh) instead.
         kspec = P("dp", None) if self._expand_dev else P(None, "dp")
+        if derive:
+            specs_tp = (P(), P("dp", None, None), P("dp", None), P("tp"))
+            specs_dp = (P(), P("dp", None, None), P("dp", None), P())
+        else:
+            specs_tp = (kspec, P("dp"), P("dp"),
+                        kspec, P("dp"), P("dp"), P("tp"))
+            specs_dp = (kspec, P("dp"), P("dp"),
+                        kspec, P("dp"), P("dp"), P())
         if self.mesh is not None and self._s32_tp:
             # Real-ops LPN-tp: shard_map over (dp, tp) with the secret
             # sharded P('tp'); each rank ANDs its word slice of every
@@ -342,23 +391,23 @@ class DeviceEngine:
             nloc = n_pad // self.n_dev
             body = prf_program(self.prm, nloc, self.use_pallas,
                                tp_axis="tp",
-                               expand_on_device=self._expand_dev)
+                               expand_on_device=self._expand_dev,
+                               derive_layout=layout)
             fn = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
-                in_specs=(kspec, P("dp"), P("dp"),
-                          kspec, P("dp"), P("dp"), P("tp")),
+                in_specs=specs_tp,
                 out_specs=(P("dp", None), P("dp")),
                 check_vma=False,
             ))
         else:
             fn = self._jit(
                 prf_program(self.prm, n_pad, self.use_pallas,
-                            expand_on_device=self._expand_dev),
-                in_specs=(kspec, P("dp"), P("dp"),
-                          kspec, P("dp"), P("dp"), P()),
+                            expand_on_device=self._expand_dev,
+                            derive_layout=layout),
+                in_specs=specs_dp,
                 out_specs=(P("dp", None), P("dp")),
             )
-        self._prf_fn_cache[n_pad] = fn
+        self._prf_fn_cache[key] = fn
         return fn
 
     PRF_CHUNK = 1024
@@ -386,6 +435,37 @@ class DeviceEngine:
                 rejs.append(rej)
             return jnp.concatenate(rs), jnp.concatenate(rejs)
         return self._prf_chunk(keys, nonces, toep_keys, toep_nonces)
+
+    def prf_cores_async_seeds(self, seeds_u64: np.ndarray,
+                              dom_hashes: np.ndarray):
+        """Derive-on-device prf cores: seeds_u64 [N, 3] u64 + dom_hashes
+        [N] u64 ship raw (no host SHA, no key bytes) and the device derives
+        both AES keys in-program.  Same chunked no-sync dispatch contract
+        as :meth:`prf_cores_async`."""
+        N = seeds_u64.shape[0]
+        C = self.PRF_CHUNK * self.n_dev
+        if N > C:
+            rs, rejs = [], []
+            for off in range(0, N, C):
+                r, rej = self._prf_chunk_seeds(
+                    seeds_u64[off : off + C], dom_hashes[off : off + C])
+                rs.append(r)
+                rejs.append(rej)
+            return jnp.concatenate(rs), jnp.concatenate(rejs)
+        return self._prf_chunk_seeds(seeds_u64, dom_hashes)
+
+    def _prf_chunk_seeds(self, seeds_u64, dom_hashes):
+        N = seeds_u64.shape[0]
+        n_pad = self._pad_lanes(N)
+        f3 = np.zeros((n_pad, 3, 2), dtype=U32)
+        f3[:N, :, 0] = (seeds_u64 & np.uint64(0xFFFFFFFF)).astype(U32)
+        f3[:N, :, 1] = (seeds_u64 >> np.uint64(32)).astype(U32)
+        dh = np.zeros((n_pad, 2), dtype=U32)
+        dh[:N, 0] = (dom_hashes & np.uint64(0xFFFFFFFF)).astype(U32)
+        dh[:N, 1] = (dom_hashes >> np.uint64(32)).astype(U32)
+        r, rej = self._prf_fn(n_pad, derive=True)(
+            self._tmpl_dev, f3, dh, self.s32_dev)
+        return r[:N], rej[:N]
 
     def prf_cores(self, keys: np.ndarray, nonces: np.ndarray,
                   toep_keys: np.ndarray, toep_nonces: np.ndarray):

@@ -146,7 +146,16 @@ def build_mul_grid_fn(Bmod: int, LAp: int, LBp: int, nAp: int, nBp: int,
         nz = (out != 0).any(axis=-1)
         return out, nz
 
-    return jax.jit(run, device=device)
+    # pin execution via jax.default_device at call time (jit(device=) is
+    # deprecated and its legacy lowering path compiles pathologically —
+    # see engine._jit)
+    jfn = jax.jit(run)
+
+    def call(*args):
+        with jax.default_device(device):
+            return jfn(*args)
+
+    return call
 
 
 def _pad_mult(n: int, m: int) -> int:
