@@ -619,16 +619,84 @@ def counters_to_planes(nonce_lo, nonce_hi, n_blocks: int):
     return planes
 
 
+def counters_to_planes_gn(nonce_lo, nonce_hi, n_blocks: int):
+    """counters_to_planes in G-major layout: planes are [16, G, N].
+
+    The minor (VPU lane) axis is then N — a multiple of 128 by the
+    engine's lane padding — instead of G = ceil(n_blocks/32), which for
+    the PRF shape (G = 129) tiles to 256 lanes and wastes ~2x of both
+    lanes and the HBM traffic of every fusion boundary.  Built transposed
+    from the start (no per-plane transposes)."""
+    xp = _xp(nonce_lo)
+    N = nonce_lo.shape[0]
+    G = (n_blocks + 31) // 32
+    c = xp.arange(G * 32, dtype=U32)
+    lo = nonce_lo[None, :] + c[:, None]          # [B', N] wrapping
+    carry = (lo < nonce_lo[None, :]).astype(U32)
+    hi = nonce_hi[None, :] + carry
+    lo = lo.reshape(G, 32, N)
+    hi = hi.reshape(G, 32, N)
+    sh = xp.arange(32, dtype=U32)[None, :, None]
+
+    planes = []
+    for b in range(8):
+        pos = []
+        for p in range(16):
+            if p < 4:
+                bits = (lo >> U32(8 * p + b)) & U32(1)
+            elif p < 8:
+                bits = (hi >> U32(8 * (p - 4) + b)) & U32(1)
+            else:
+                bits = None
+            if bits is None:
+                pos.append(xp.zeros((G, N), dtype=U32))
+            else:
+                pos.append((bits << sh).sum(axis=1).astype(U32))
+        planes.append(xp.stack(pos))  # [16, G, N]
+    return planes
+
+
+def encrypt_planes_gn(rk_masks, planes):
+    """encrypt_planes for the G-major layout ([16, G, N] planes); only the
+    round-key broadcast axis differs."""
+    return _encrypt_planes_core(rk_masks, planes, gn=True)
+
+
+def planes_to_words_gn(planes, n_blocks: int):
+    """G-major output planes -> keystream words [N, n_blocks, 4] uint32."""
+    xp = _xp(planes[0])
+    N = planes[0].shape[2]
+    out_words = []
+    for w in range(4):
+        rows = []
+        for i in range(32):
+            p, b = 4 * w + i // 8, i % 8
+            rows.append(planes[b][p])  # [G, N]
+        cols = bit_transpose_32(rows)
+        stacked = xp.stack(cols, axis=-1)            # [G, N, 32]
+        blocks_major = xp.swapaxes(stacked, 0, 1)    # [N, G, 32]
+        out_words.append(blocks_major.reshape(N, -1)[:, :n_blocks])
+    return xp.stack(out_words, axis=-1)  # [N, n_blocks, 4]
+
+
 def encrypt_planes(rk_masks, planes):
     """AES-256 encrypt bitsliced states.
 
     rk_masks: [15, 16, 8, N] uint32; planes: list of 8 arrays [16, N, G].
     Returns output planes (same layout).
     """
+    return _encrypt_planes_core(rk_masks, planes, gn=False)
+
+
+def _encrypt_planes_core(rk_masks, planes, gn: bool):
     xp = _xp(planes[0])
 
-    def ark(pl, r):
-        return [pl[b] ^ rk_masks[r, :, b, :, None] for b in range(8)]
+    if gn:
+        def ark(pl, r):
+            return [pl[b] ^ rk_masks[r, :, b, None, :] for b in range(8)]
+    else:
+        def ark(pl, r):
+            return [pl[b] ^ rk_masks[r, :, b, :, None] for b in range(8)]
 
     def round_fn(pl, r):
         pl = sbox_planes(pl)

@@ -49,7 +49,7 @@ def _load_autotune() -> dict:
 
 def prf_program(prm, n_lanes: int, use_pallas: bool = False,
                 tp_axis: str | None = None, expand_on_device: bool = True,
-                derive_layout=None):
+                derive_layout=None, aes_gn: bool = False):
     """The single-chip prf_R-core forward program (jittable, pure).
 
     (keys [n, 32] u8, nlo, nhi [n], toep_keys [n, 32] u8, tnlo, tnhi, s32
@@ -96,6 +96,13 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
 
             rk_lanes = jnp.moveaxis(rk, -1, 0)  # [N, 15, 16, 8]
             return aes_pallas.aes_ctr_keystream_pallas(rk_lanes, nlo, nhi, nb)
+        if aes_gn:
+            # G-major plane layout: N (a multiple of 128) on the VPU lane
+            # axis instead of G = ceil(nb/32) (129 for the PRF shape ->
+            # 256-lane tiles, ~2x wasted lanes and fusion-boundary HBM)
+            planes = aesv.counters_to_planes_gn(nlo, nhi, nb)
+            out = aesv.encrypt_planes_gn(rk, planes)
+            return aesv.planes_to_words_gn(out, nb)
         planes = aesv.counters_to_planes(nlo, nhi, nb)
         out = aesv.encrypt_planes(rk, planes)
         return aesv.planes_to_words(out, nb)
@@ -199,6 +206,13 @@ class DeviceEngine:
             else:
                 use_pallas = bool(tuned.get("use_pallas", False))
         self.use_pallas = use_pallas
+        # AES bitsliced plane layout (see prf_program): measured autotune
+        # choice, env-overridable like the other kernel selections.
+        env_gn = os.environ.get("PVAC_AES_GN")
+        if env_gn is not None:
+            self.aes_gn = env_gn == "1"
+        else:
+            self.aes_gn = bool(tuned.get("aes_gn", False))
         # Device-side AES key-schedule expansion (8x less link transfer);
         # XLA:CPU compiles the in-program schedule pathologically, so CPU
         # engines keep host expansion.
@@ -392,7 +406,7 @@ class DeviceEngine:
             body = prf_program(self.prm, nloc, self.use_pallas,
                                tp_axis="tp",
                                expand_on_device=self._expand_dev,
-                               derive_layout=layout)
+                               derive_layout=layout, aes_gn=self.aes_gn)
             fn = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=specs_tp,
@@ -403,7 +417,7 @@ class DeviceEngine:
             fn = self._jit(
                 prf_program(self.prm, n_pad, self.use_pallas,
                             expand_on_device=self._expand_dev,
-                            derive_layout=layout),
+                            derive_layout=layout, aes_gn=self.aes_gn),
                 in_specs=specs_dp,
                 out_specs=(P("dp", None), P("dp")),
             )
