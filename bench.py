@@ -352,10 +352,67 @@ def main():
         if dev_cancelled.is_set():  # timed out meanwhile; stay on host
             return None
         enable_device(pk, sk, device=dev)
+        probe_device_speed("init")
         return dev
 
     def _engine():
         return getattr(pk, "_engine", None)
+
+    _redbox = {}
+
+    def _sigma_fence(prods):
+        """Force completion of every product's device σ (one reduced-scalar
+        fetch per distinct base — adds ~1 RTT when drain already covered
+        the work, and catches any out-of-order execution if it ever
+        appears on this backend)."""
+        import jax
+        import jax.numpy as jnp
+
+        if "red" not in _redbox:
+            _redbox["red"] = jax.jit(lambda s: s.astype(jnp.uint32).sum())
+        seen, handles = set(), []
+        for C in prods:
+            b = getattr(C.sigma, "base", None)
+            if b is not None and not isinstance(b, np.ndarray) \
+                    and id(b) not in seen:
+                seen.add(id(b))
+                handles.append(_redbox["red"](b))
+        for v in handles:
+            np.asarray(v)
+
+    def probe_device_speed(tag):
+        """Fixed jitted workload (50 chained 2048^2 bf16 matmuls): measures
+        the WINDOW's device throughput.  The device behind the tunnel is
+        time-shared — measured kernel speeds vary ~3x between sessions
+        (docs/session_r5a.json vs the r4 roofline), so every run records
+        the window speed its numbers were taken in."""
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            a = jnp.ones((2048, 2048), dtype=jnp.bfloat16)
+
+            def body(x):
+                import jax.lax as lax
+
+                return lax.fori_loop(0, 50, lambda i, y: y @ a, x)
+
+            f = jax.jit(body)
+            np.asarray(f(a)[:1, :1], dtype=np.float32)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(f(a)[:1, :1], dtype=np.float32)
+                best = min(best, time.time() - t0)
+            tflops = 50 * 2 * 2048**3 / best / 1e12
+            DIAG[f"device_probe_{tag}"] = {
+                "matmul_chain_s": round(best, 4),
+                "bf16_tflops": round(tflops, 1),
+            }
+            log(f"device speed probe ({tag}): {tflops:.1f} bf16 TFLOP/s "
+                f"(v5e peak ~197)")
+        except Exception as e:  # noqa: BLE001
+            log(f"device probe failed: {e!r}")
 
     def run_mul(batch_pairs, tag, n_reps=2):
         eng = _engine()
@@ -366,12 +423,15 @@ def main():
         warm = time.time() - t0
         # honest timing: the window covers N reps PLUS a full σ-queue
         # drain, so no in-flight device work escapes the clock.
+        if eng is not None:
+            _sigma_fence(prods)  # compile the per-shape reducer outside reps
         reps = []
         for _ in range(n_reps):
             t0 = time.time()
             prods = pvac.ct_mul_batch(pk, batch_pairs)
             if eng is not None:
                 eng.drain()
+                _sigma_fence(prods)
             reps.append(time.time() - t0)
         per_s = len(batch_pairs) / min(reps)
         got = pvac.dec_value_batch(pk, sk, prods[:2])
@@ -524,6 +584,8 @@ def main():
                 log(f"dec_value: {dec_dev:.1f} ct/s (device-routed, batch "
                     f"{len(dev_cts_box['cts'])}; ref ~59 ct/s)")
 
+    if device_ok:
+        probe_device_speed("end")
     emit("complete")
     # abandoned phase threads may still sit inside device calls; a normal
     # interpreter teardown then aborts (pthread terminate) AFTER the JSON

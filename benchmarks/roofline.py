@@ -199,8 +199,21 @@ def main():
                         "fused VMEM-resident rounds"))
     except Exception as e:  # noqa: BLE001
         log(f"  pallas AES unavailable: {e!r}")
-    autotune["use_pallas"] = bool(t_pl is not None and t_pl < t_xla)
-    log(f"AES winner: {'pallas' if autotune['use_pallas'] else 'xla'}")
+    def aes_gn(rk_packed, lo, hi):
+        masks = aesv.rk_masks_from_packed(rk_packed, N)
+        planes = aesv.counters_to_planes_gn(lo, hi, nblocks)
+        return aesv.planes_to_words_gn(
+            aesv.encrypt_planes_gn(masks, planes), nblocks)
+
+    t_gn = bench(jax.jit(aes_gn), rk, nlo, nhi)
+    fl3, by3 = cost(aes_gn, rk, nlo, nhi)
+    rows.append(row("aes_ctr_keystream[xla,gn]", t_gn, "AES blocks/s",
+                    blocks, fl3, by3, PEAK_VPU_U32,
+                    "G-major planes: N on the VPU lane axis"))
+    autotune["use_pallas"] = bool(t_pl is not None and t_pl < min(t_xla, t_gn))
+    autotune["aes_gn"] = bool(t_gn < t_xla)
+    log(f"AES winner: "
+        f"{'pallas' if autotune['use_pallas'] else ('xla-gn' if autotune['aes_gn'] else 'xla')}")
 
     # ------------------------------------------------------------------
     # 2. SHA-256-CTR sampler (σ draws): XLA vs Pallas
