@@ -233,23 +233,19 @@ class DeviceEngine:
             self.use_pallas_sha = bool(tuned["use_pallas_sha"])
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
-        # Unified σ gather table [n_bits + 1 + m_bits, mw]:
-        #   rows 0..n_bits-1   = H columns (the x_seed draws),
-        #   row  n_bits        = all-zero (masked-out draws land here),
-        #   rows n_bits+1 ..   = single-bit identity rows (noise draw v
-        #                        XORs exactly bit v).
-        # Both draw streams then share ONE gather-XOR accumulation — the
-        # separate [N, D, mw] one-hot noise stage of rounds 1-4 (a quarter
-        # of the σ program's time) disappears into the same thin gathers.
+        # σ gather table = H plus one all-zero row at index n_bits:
+        # masked-out draws gather the zero row, so the XOR accumulation
+        # needs no select.  (A round-5 experiment appended single-bit
+        # identity rows so the noise stream shared the gather path; the
+        # side-by-side measurement, docs/session_r5c.json, showed the
+        # one-hot compare noise stage is ~2x FASTER than gathering 144
+        # 1 KB identity rows — gathers are DMA-descriptor-bound — so the
+        # one-hot stage stays.)
         if pk.H is not None:
-            m = self.prm.m_bits
             mw = pk.H.shape[1]
-            ident = np.zeros((m, mw), dtype=pk.H.dtype)
-            ident[np.arange(m), np.arange(m) // 32] = (
-                np.uint32(1) << np.uint32(np.arange(m) % 32))
             self.Hx_dev = self._put_H(
                 np.concatenate(
-                    [pk.H, np.zeros((1, mw), dtype=pk.H.dtype), ident])
+                    [pk.H, np.zeros((1, mw), dtype=pk.H.dtype)])
             )
         else:
             self.Hx_dev = None
@@ -550,27 +546,27 @@ class DeviceEngine:
             prm.err_wt, prm.m_bits, "pvac.dom.noise", lanes,
             pallas_sha=pallas_sha,
         )
-        zero = np.int32(prm.n_bits)
-        idxc = jnp.where(ctake, cvals, zero)
-        idxn = jnp.where(ntake, nvals + np.int32(prm.n_bits + 1), zero)
-        idx = jnp.concatenate([idxc, idxn], axis=1)  # [N, Dc+Dn]
-        # XOR of the selected rows, order-free.  G interleaved accumulators
-        # break what was a 288-gather serial dependency chain (each
-        # gather+XOR waited on the previous) into 8 independent chains the
-        # scheduler can overlap; a short tree XOR joins them.
-        D = idx.shape[1]
-        G = 8
-        accs = []
-        for g in range(G):
-            cols = list(range(g, D, G))
-            acc = Hx[idx[:, cols[0]]]
-            for j in cols[1:]:
-                acc = acc ^ Hx[idx[:, j]]
-            accs.append(acc)
-        while len(accs) > 1:
-            accs = [a ^ b for a, b in zip(accs[0::2], accs[1::2])] + (
-                [accs[-1]] if len(accs) % 2 else [])
-        return accs[0], fb1 | fb2
+        # XOR of the selected H columns, order-free: thin gathers over all
+        # D draws with non-selected draws redirected to the zero row.
+        # Serial vs 8-way interleaved chains measured identical (XLA
+        # reassociates; docs/session_r5b.json), so keep the simple chain.
+        idx = jnp.where(ctake, cvals, np.int32(prm.n_bits))
+        sig = Hx[idx[:, 0]]
+        for j in range(1, idx.shape[1]):
+            sig = sig ^ Hx[idx[:, j]]
+        # noise bits via fused one-hot accumulation (selected values are
+        # unique -> bits disjoint -> sum == xor).  Measured the FASTEST of
+        # four variants at this shape — one-hot compare ~6 ms vs ~12 ms of
+        # identity-row gathers, ~28 ms scatter-add, ~29 ms sort-compaction
+        # (docs/session_r5c.json: v3 18.18 ms/16K edges vs v0 26.54).
+        word = nvals // 32                      # [N, D]
+        bit = (nvals % 32).astype(U32)
+        masks = jnp.where(ntake, (U32(1) << bit).astype(U32), U32(0))
+        hit = word[:, :, None] == jnp.arange(mw, dtype=np.int32)[None, None, :]
+        contrib = jnp.where(hit, masks[:, :, None], U32(0)).sum(
+            axis=1, dtype=U32
+        )
+        return sig ^ contrib, fb1 | fb2
 
     def _sigma_compact_fn(self, n_pad: int, u_pad: int):
         """Compact-transfer σ program: per-edge data arrives as one packed
