@@ -46,13 +46,35 @@ def main():
                 pass
             time.sleep(3.0)
 
+    def probe():
+        """Window-speed probe: the device is time-shared (see ROUND5.md);
+        every artifact records the window its numbers came from."""
+        try:
+            import jax.lax as lax
+
+            a = jnp.ones((2048, 2048), dtype=jnp.bfloat16)
+            f = jax.jit(lambda x: lax.fori_loop(0, 50, lambda i, y: y @ a, x))
+            np.asarray(f(a)[:1, :1], dtype=np.float32)
+            best = float("inf")
+            for _ in range(3):
+                tp = time.time()
+                np.asarray(f(a)[:1, :1], dtype=np.float32)
+                best = min(best, time.time() - tp)
+            return round(50 * 2 * 2048**3 / best / 1e12, 1)
+        except Exception:
+            return None
+
     prm = pvac.small_test_params() if args.small else pvac.Params()
     t0 = time.time()
     pk, sk = pvac.keygen(prm)
     print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+    probe_start = None
     if not args.host_only:
         threading.Thread(target=keepalive, daemon=True).start()
         enable_device(pk, sk)
+        probe_start = probe()
+        print(f"window speed: {probe_start} bf16 TFLOP/s (peak ~197)",
+              flush=True)
 
     # warm compile
     pvac.enc_value_batch(pk, sk, list(range(min(args.chunk, args.n))))
@@ -63,19 +85,17 @@ def main():
     # software-pipelined: chunk i+1's device programs dispatch before
     # chunk i's host finalize (enc_value_batch pipelines internally when
     # given the whole range, but chunked calls here keep progress visible)
-    from pvac_hfhe_cppbyv_tpu.ops.encrypt import (
-        combine_ciphers, enc_fp_depth_batch_start,
-    )
+    from pvac_hfhe_cppbyv_tpu.ops.encrypt import enc_fp_depth_batch_start
     from pvac_hfhe_cppbyv_tpu.core import field as F
 
     def start(v0, take):
-        vals2, metas = [], []
+        vals2 = []
         for v in range(v0, v0 + take):
             mask = F.rand_fp_nonzero()
             vals2.append(F.fp_add(F.fp_from_u64(v), mask))
             vals2.append(F.fp_neg(mask))
         return take, enc_fp_depth_batch_start(
-            pk, sk, vals2, [0] * len(vals2))
+            pk, sk, vals2, [0] * len(vals2), pair_shares=True)
 
     prev = None
     while done < args.n or prev is not None:
@@ -87,11 +107,13 @@ def main():
             nxt = None
         if prev is not None:
             k, fin = prev
-            shares = fin()
-            cts = [combine_ciphers(pk, shares[2 * i], shares[2 * i + 1])
-                   for i in range(k)]
+            cts = fin()  # pair-fused assembly (ops/encrypt.py)
             if not sample:
                 sample = cts[:4]
+            # ciphertexts stream OUT (serving shape): retaining all 64K
+            # device-σ handles measurably degrades the allocator
+            # (docs/session_r5b.json 64K retained: ~0.5x this rate)
+            del cts
             el = time.time() - t0
             print(f"  {done}/{args.n} enc ({done/el:.1f} ct/s)", flush=True)
         prev = nxt
@@ -128,6 +150,7 @@ def main():
             "ct_per_s": round(args.n / el, 1),
             "prf_cores_per_s": round(cores / el),
             "aes_blocks_per_s": round(blocks / el),
+            "window_probe_tflops": [probe_start, probe()],
         }
         # preserve prior runs: published figures must stay traceable even
         # after the headline entry is superseded

@@ -61,6 +61,25 @@ def bench_dev(fn, *args, reps=10, warm=1):
     return (time.perf_counter() - t0) / reps
 
 
+def _probe():
+    """Window-speed probe (the device is time-shared; see ROUND5.md)."""
+    try:
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        a = jnp.ones((2048, 2048), dtype=jnp.bfloat16)
+        f = jax.jit(lambda x: lax.fori_loop(0, 50, lambda i, y: y @ a, x))
+        np.asarray(f(a)[:1, :1], dtype=np.float32)
+        best = float("inf")
+        for _ in range(3):
+            tp = time.time()
+            np.asarray(f(a)[:1, :1], dtype=np.float32)
+            best = min(best, time.time() - tp)
+        return round(50 * 2 * 2048**3 / best / 1e12, 1)
+    except Exception:
+        return None
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     dev = jax.devices()[0]
@@ -100,10 +119,21 @@ def main():
     t_prf_dev = 0.0
     for sz in sorted(set(chunks)):
         n_pad = eng._pad_lanes(sz)
-        keys = rng.integers(0, 256, (n_pad, 32), dtype=np.uint16).astype(np.uint8)
-        nlo = rng.integers(0, 1 << 32, n_pad, dtype=np.uint64).astype(np.uint32)
-        fn = eng._prf_fn(n_pad)
-        t = bench_dev(fn, keys, nlo, nlo, keys, nlo, nlo, eng.s32_dev)
+        if getattr(eng, "_derive_dev", False):
+            # production program: derive-on-device (seeds + dom hashes in)
+            f3 = rng.integers(0, 1 << 32, (n_pad, 3, 2),
+                              dtype=np.uint64).astype(np.uint32)
+            dh = rng.integers(0, 1 << 32, (n_pad, 2),
+                              dtype=np.uint64).astype(np.uint32)
+            fn = eng._prf_fn(n_pad, derive=True)
+            t = bench_dev(fn, eng._tmpl_dev, f3, dh, eng.s32_dev)
+        else:
+            keys = rng.integers(0, 256, (n_pad, 32),
+                                dtype=np.uint16).astype(np.uint8)
+            nlo = rng.integers(0, 1 << 32, n_pad,
+                               dtype=np.uint64).astype(np.uint32)
+            fn = eng._prf_fn(n_pad)
+            t = bench_dev(fn, keys, nlo, nlo, keys, nlo, nlo, eng.s32_dev)
         t_prf_dev += t * chunks.count(sz)
         log(f"  prf chunk {sz} (pad {n_pad}): {t*1e3:.1f} ms device")
 
@@ -144,6 +174,7 @@ def main():
             "forced materialization; host+link = total - device (overlap "
             "makes this a lower bound on overlappable host work)"
         ),
+        "window_probe_tflops": _probe(),
     }
     path = os.path.join(REPO, "docs", "host_device_split.json")
     with open(path, "w") as f:
