@@ -405,12 +405,34 @@ def main():
                 np.asarray(f(a)[:1, :1], dtype=np.float32)
                 best = min(best, time.time() - t0)
             tflops = 50 * 2 * 2048**3 / best / 1e12
+            # VPU flavor too: the hot kernels here are VPU+HBM-bound, and
+            # MXU vs VPU contention has been observed to diverge.
+            x = jnp.arange(1 << 22, dtype=jnp.uint32)
+
+            def vbody(x):
+                import jax.lax as lax
+
+                def it(i, y):
+                    return (y ^ (y >> jnp.uint32(7))) * jnp.uint32(
+                        2654435761) + jnp.uint32(1)
+
+                return lax.fori_loop(0, 256, it, x)
+
+            vf = jax.jit(vbody)
+            np.asarray(vf(x)[:1])
+            vbest = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(vf(x)[:1])
+                vbest = min(vbest, time.time() - t0)
+            vgops = 256 * (1 << 22) * 4 / vbest / 1e9
             DIAG[f"device_probe_{tag}"] = {
                 "matmul_chain_s": round(best, 4),
                 "bf16_tflops": round(tflops, 1),
+                "vpu_u32_gops": round(vgops, 0),
             }
             log(f"device speed probe ({tag}): {tflops:.1f} bf16 TFLOP/s "
-                f"(v5e peak ~197)")
+                f"(peak ~197), VPU {vgops:.0f} Gop/s (peak ~3850)")
         except Exception as e:  # noqa: BLE001
             log(f"device probe failed: {e!r}")
 

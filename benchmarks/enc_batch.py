@@ -23,7 +23,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
-    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--host-only", action="store_true")
     args = ap.parse_args()

@@ -656,10 +656,10 @@ def counters_to_planes_gn(nonce_lo, nonce_hi, n_blocks: int):
     return planes
 
 
-def encrypt_planes_gn(rk_masks, planes):
+def encrypt_planes_gn(rk_masks, planes, unroll: bool = False):
     """encrypt_planes for the G-major layout ([16, G, N] planes); only the
     round-key broadcast axis differs."""
-    return _encrypt_planes_core(rk_masks, planes, gn=True)
+    return _encrypt_planes_core(rk_masks, planes, gn=True, unroll=unroll)
 
 
 def planes_to_words_gn(planes, n_blocks: int):
@@ -679,16 +679,21 @@ def planes_to_words_gn(planes, n_blocks: int):
     return xp.stack(out_words, axis=-1)  # [N, n_blocks, 4]
 
 
-def encrypt_planes(rk_masks, planes):
+def encrypt_planes(rk_masks, planes, unroll: bool = False):
     """AES-256 encrypt bitsliced states.
 
     rk_masks: [15, 16, 8, N] uint32; planes: list of 8 arrays [16, N, G].
     Returns output planes (same layout).
+
+    unroll=True (jax only) emits the 13 middle rounds as straight-line ops
+    instead of a lax.fori_loop: the loop forces every plane array through
+    HBM at each round boundary, and cross-round fusion is where the
+    keystream's HBM-bound time goes (docs/roofline.json).
     """
-    return _encrypt_planes_core(rk_masks, planes, gn=False)
+    return _encrypt_planes_core(rk_masks, planes, gn=False, unroll=unroll)
 
 
-def _encrypt_planes_core(rk_masks, planes, gn: bool):
+def _encrypt_planes_core(rk_masks, planes, gn: bool, unroll: bool = False):
     xp = _xp(planes[0])
 
     if gn:
@@ -710,7 +715,7 @@ def _encrypt_planes_core(rk_masks, planes, gn: bool):
         return ark(pl, r)
 
     pl = ark(planes, 0)
-    if xp is np:
+    if xp is np or unroll:
         for r in range(1, 14):
             pl = round_fn(pl, r)
     else:
