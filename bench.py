@@ -465,6 +465,9 @@ def main():
             "reps_s": [round(r, 3) for r in reps],
             "rep_spread_pct": round(spread, 1),
             "ops_per_s": round(per_s, 2), "drained": eng is not None,
+            # the timed window includes the sigma compute fence: doc
+            # generators only publish fence-verified mul numbers
+            "fenced": eng is not None,
         }
         return per_s, warm
 

@@ -38,11 +38,23 @@ def _history():
 
 
 def _best_result(key: str):
-    """(value, ts, git) of the best RESULTS[key] across all bench runs."""
+    """(value, ts, git) of the best RESULTS[key] across all bench runs.
+
+    mul_per_s only considers runs whose ct_mul windows carried the sigma
+    compute fence ("fenced" phase flag, round 5): pre-fence windows could
+    end before queued device work and are not publishable as headlines."""
     best = None
     for h in _history():
         v = (h.get("results") or {}).get(key)
-        if v and (best is None or v > best[0]):
+        if not v:
+            continue
+        if key == "mul_per_s":
+            phases = (h.get("diag") or {}).get("phases") or {}
+            fenced = [p.get("fenced") for t, p in phases.items()
+                      if t.startswith("ct_mul")]
+            if not (fenced and all(fenced)):
+                continue
+        if best is None or v > best[0]:
             best = (v, h.get("ts", "?"), h.get("git", "?"))
     return best
 
