@@ -151,6 +151,107 @@ def row(name, seconds, unit, units_per_call, flops, nbytes, bound_peak,
     }
 
 
+def render_md(out, at_file="/tmp/pvac_kernel_autotune.json"):
+    """Render docs/ROOFLINE.md from a roofline result dict (the checked-in
+    docs/roofline.json when called with --render-only)."""
+    rows = out["rows"]
+    autotune = out["autotune"]
+    md = [
+        "# ROOFLINE — measured kernel utilization",
+        "",
+        f"Device: `{out['device']}` · {out['date']} · generated by "
+        "`benchmarks/roofline.py` (re-run it to refresh; every number below "
+        "comes from `docs/roofline.json`).",
+        "",
+        "Ceilings assumed (TPU v5e): MXU 394e12 int8 ops/s, VPU 3.85e12 u32 "
+        "lane-ops/s (8x128 lanes x 4 ALUs x 0.94 GHz), HBM 819 GB/s.",
+        "",
+        "Methodology: kernel inputs are device-resident (host->device "
+        "transfer excluded), reps dispatched back-to-back with one final "
+        "fetch, measured link round-trip subtracted.  'XLA ops/s' and "
+        "'HBM GB/s' derive from XLA **cost-model** flops/bytes (an "
+        "un-fused upper bound on traffic, not a hardware counter): rows "
+        "where the model's bytes exceed what the wall time could move "
+        "report no HBM% and say so in the note instead of an impossible "
+        "number.",
+        "",
+        "NOTE on absolute numbers: the attached device is time-shared and "
+        "its deliverable throughput varies ~1.3-3x between sessions "
+        "(docs/ROUND5.md; compare docs/session_r5b.json's 227M-block/s "
+        "keystream against this table).  Same-table rows are same-window "
+        "and comparable; cross-artifact comparisons must check the "
+        "window probes recorded in each artifact.",
+        "",
+        "| kernel | time | throughput | XLA ops/s | HBM GB/s | % compute | "
+        "% HBM | binds on | note |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        binds = "—"
+        if r["util_compute_pct"] is not None and r["util_hbm_pct"] is not None:
+            binds = ("compute" if r["util_compute_pct"] >= r["util_hbm_pct"]
+                     else "HBM")
+        elif r["util_compute_pct"] is not None:
+            binds = "compute"
+        md.append(
+            f"| {r['kernel']} | {r['time_ms']} ms | {r['throughput']:,} "
+            f"{r['unit']} | {r['achieved_ops_per_s']:.2e} | "
+            f"{r['achieved_GBps']} | {r['util_compute_pct']} | "
+            f"{r['util_hbm_pct']} | {binds} | {r['note']} |"
+        )
+    aes_pick = ("pallas" if autotune.get("use_pallas")
+                else ("xla-gn" if autotune.get("aes_gn") else "xla"))
+    md += [
+        "",
+        "Measured kernel selection (reference-autotuner analogue, "
+        "`crypto/toeplitz.hpp:202-257`): "
+        f"AES keystream -> **{aes_pick}**, "
+        f"SHA-256-CTR -> **{'pallas' if autotune['use_pallas_sha'] else 'xla'}**"
+        f" (written to `{at_file}`, read by the device engine at init).",
+        "",
+        "## Recorded kernel verdicts (measured, with artifacts)",
+        "",
+        "- **Pallas AES — retired to reference-only.**  The XLA bitsliced "
+        "path reaches ~45% of the VPU gate-op ceiling and XLA fuses the "
+        "LPN contraction into it (the prf pipeline costs only ~2-3 ms "
+        "more than the bare keystream); the per-lane Pallas kernel cannot "
+        "approach that (1024 sequential grid programs over unaligned "
+        "[16, 129] tiles) and no longer builds under current Mosaic.  "
+        "The Pallas SHA kernel, by contrast, wins by ~35x and stays the "
+        "default.",
+        "- **AES plane layout — G-major (aes_gn) autotuned in**: N (a "
+        "multiple of 128) on the VPU lane axis instead of G=129 (256-lane "
+        "tile padding); +6% measured (this table, docs/session_r5b.json).",
+        "- **AES round-loop unrolling — rejected.**  Straight-line middle "
+        "rounds measured 5% SLOWER than lax.fori_loop in both layouts "
+        "with 2x the compile time (docs/session_r5d.json) — cross-round "
+        "fusion does not materialize, so the loop stays.",
+        "- **σ program shape — 144 H-gathers + one-hot compare noise.**  "
+        "Five same-window variants (docs/session_r5c.json): one-hot "
+        "18.18 ms/16K edges vs unified identity-row gather table 26.54, "
+        "scatter-add noise 40.33, sort-compacted gathers 64.52, "
+        "big-gather/MXU-matmul 127-138.  Gathers are DMA-descriptor-"
+        "bound (~190-240 GB/s effective on 1 KB rows), so computing the "
+        "noise bits beats gathering them.",
+        "- **mulgrid (MXU dense-grid ct_mul) — kept, for >=2^28-pair "
+        "products only.**  Kernel-only (device-resident inputs, device-"
+        "reduced output) the 8x8-layer block runs in ~16 ms — the r4 "
+        "0.07%-utilization row was dominated by a 690 KB result fetch "
+        "over the ~27 MB/s link, not the kernel.  Below ~2^28 cross "
+        "pairs the native host aggregator (~45M pairs/s/core) still "
+        "wins and is the default (ops/arithmetic.py "
+        "NATIVE_AGG_PAIR_MAX); above it — the depth-4 shapes where the "
+        "reference std::bad_allocs — the grid is the only practical "
+        "path (docs/DEPTH.md).",
+        "",
+    ]
+    REPO_ = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(REPO_, "docs", "ROOFLINE.md"), "w") as f:
+        f.write("\n".join(md))
+    log("wrote docs/ROOFLINE.md")
+
+
+
 def main():
     dev = jax.devices()[0]
     log("device:", dev)
@@ -414,67 +515,13 @@ def main():
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
 
-    # regenerate the markdown view
-    md = [
-        "# ROOFLINE — measured kernel utilization",
-        "",
-        f"Device: `{out['device']}` · {out['date']} · generated by "
-        "`benchmarks/roofline.py` (re-run it to refresh; every number below "
-        "comes from `docs/roofline.json`).",
-        "",
-        "Ceilings assumed (TPU v5e): MXU 394e12 int8 ops/s, VPU 3.85e12 u32 "
-        "lane-ops/s (8x128 lanes x 4 ALUs x 0.94 GHz), HBM 819 GB/s.",
-        "",
-        "Methodology: kernel inputs are device-resident (host->device "
-        "transfer excluded), reps dispatched back-to-back with one final "
-        "fetch, measured link round-trip subtracted.  'XLA ops/s' and "
-        "'HBM GB/s' derive from XLA **cost-model** flops/bytes (an "
-        "un-fused upper bound on traffic, not a hardware counter): rows "
-        "where the model's bytes exceed what the wall time could move "
-        "report no HBM% and say so in the note instead of an impossible "
-        "number.",
-        "",
-        "| kernel | time | throughput | XLA ops/s | HBM GB/s | % compute | "
-        "% HBM | binds on | note |",
-        "|---|---|---|---|---|---|---|---|---|",
-    ]
-    for r in rows:
-        binds = "—"
-        if r["util_compute_pct"] is not None and r["util_hbm_pct"] is not None:
-            binds = ("compute" if r["util_compute_pct"] >= r["util_hbm_pct"]
-                     else "HBM")
-        elif r["util_compute_pct"] is not None:
-            binds = "compute"
-        md.append(
-            f"| {r['kernel']} | {r['time_ms']} ms | {r['throughput']:,} "
-            f"{r['unit']} | {r['achieved_ops_per_s']:.2e} | "
-            f"{r['achieved_GBps']} | {r['util_compute_pct']} | "
-            f"{r['util_hbm_pct']} | {binds} | {r['note']} |"
-        )
-    md += [
-        "",
-        "Measured kernel selection (reference-autotuner analogue, "
-        "`crypto/toeplitz.hpp:202-257`): "
-        f"AES keystream -> **{'pallas' if autotune['use_pallas'] else 'xla'}**, "
-        f"SHA-256-CTR -> **{'pallas' if autotune['use_pallas_sha'] else 'xla'}**"
-        f" (written to `{at_file}`, read by the device engine at init).",
-        "",
-        "Pallas AES verdict (measured): the XLA bitsliced path reaches "
-        "~45% of the VPU gate-op ceiling (287M blocks/s x ~6k gate-ops/"
-        "block ~= 1.7e12 lane-ops/s vs 3.85e12 peak) and XLA fuses the "
-        "LPN contraction into it (prf pipeline costs only ~2 ms more than "
-        "the bare keystream).  The per-lane Pallas kernel cannot approach "
-        "that (1024 sequential grid programs over unaligned [16, 129] "
-        "tiles; current Mosaic rejects the shapes outright), so "
-        "`crypto/aes_pallas.py` is retired to reference-only.  The Pallas "
-        "SHA kernel, by contrast, wins by ~35x and stays the default.",
-        "",
-    ]
-    with open(os.path.join(REPO, "docs", "ROOFLINE.md"), "w") as f:
-        f.write("\n".join(md))
-    log("wrote docs/ROOFLINE.md")
+    render_md(out, at_file)
     print(json.dumps({"rows": len(rows), "autotune": autotune}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--render-only" in sys.argv:
+        with open(os.path.join(REPO, "docs", "roofline.json")) as f:
+            render_md(json.load(f))
+    else:
+        main()
