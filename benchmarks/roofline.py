@@ -420,10 +420,10 @@ def main():
             "sigma_program(16K edges)", t_sig, "edges/s", Es,
             float(flops_edge * Es), float(bytes_edge * Es),
             PEAK_VPU_U32,
-            "marginal queued chunk: 2 SHA-CTR streams + dedup + unified "
-            f"{2*D}-row gather-XOR (H columns + noise identity bits); "
-            "flops/bytes are a hand cost model of necessary work, so "
-            "util%% here are of the MODEL, queue drained in-window"))
+            f"marginal queued chunk: 2 SHA-CTR streams + dedup + {D} "
+            "H-row gather-XOR + one-hot noise bits; flops/bytes are a "
+            "hand cost model of necessary work, so util% here are of "
+            "the MODEL, queue drained in-window"))
     except Exception as e:  # noqa: BLE001
         log(f"  sigma program row unavailable: {e!r}")
 
