@@ -510,6 +510,8 @@ def main():
     with open(at_file, "w") as f:
         json.dump(autotune, f)
     log(f"wrote {at_file}: {autotune}")
+    with open(os.path.join(REPO, "docs", "kernel_autotune.json"), "w") as f:
+        json.dump(autotune, f)
     path = os.path.join(REPO, "docs", "roofline.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -34,17 +34,25 @@ def _pad_pow2(n: int, lo: int = 32) -> int:
 
 
 def _load_autotune() -> dict:
-    """Measured kernel choices written by benchmarks/roofline.py."""
+    """Measured kernel choices written by benchmarks/roofline.py.
+
+    Falls back to the checked-in copy (docs/kernel_autotune.json) when no
+    machine-local autotune file exists — fresh processes on a clean /tmp
+    still get the measured winners."""
     import json
     import os
 
     path = os.environ.get("PVAC_AUTOTUNE_FILE",
                           "/tmp/pvac_kernel_autotune.json")
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except Exception:
-        return {}
+    for p in (path, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "..", "docs",
+            "kernel_autotune.json")):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            continue
+    return {}
 
 
 def prf_program(prm, n_lanes: int, use_pallas: bool = False,
