@@ -212,13 +212,15 @@ def render_md(out, at_file="/tmp/pvac_kernel_autotune.json"):
         "## Recorded kernel verdicts (measured, with artifacts)",
         "",
         "- **Pallas AES — retired to reference-only.**  The XLA bitsliced "
-        "path reaches ~45% of the VPU gate-op ceiling and XLA fuses the "
-        "LPN contraction into it (the prf pipeline costs only ~2-3 ms "
-        "more than the bare keystream); the per-lane Pallas kernel cannot "
-        "approach that (1024 sequential grid programs over unaligned "
-        "[16, 129] tiles) and no longer builds under current Mosaic.  "
-        "The Pallas SHA kernel, by contrast, wins by ~35x and stays the "
-        "default.",
+        "path is HBM-bound, not compute-bound: ~41-48% of peak HBM on the "
+        "cost model's un-fused byte estimate (fusion-boundary traffic of "
+        "the ~22k-gate circuit) vs ~5-6% of the cost-model op ceiling — "
+        "and XLA fuses the LPN contraction into it (the prf pipeline "
+        "costs only ~2-3 ms more than the bare keystream).  The per-lane "
+        "Pallas kernel cannot approach that (1024 sequential grid "
+        "programs over unaligned [16, 129] tiles) and no longer builds "
+        "under current Mosaic.  The Pallas SHA kernel, by contrast, wins "
+        "by ~35x and stays the default.",
         "- **AES plane layout — G-major (aes_gn) autotuned in**: N (a "
         "multiple of 128) on the VPU lane axis instead of G=129 (256-lane "
         "tile padding); +6% measured (this table, docs/session_r5b.json).",
