@@ -229,3 +229,15 @@ def test_deferred_fallback_fixer_patches_rows(eng_keys):
     sub = np.asarray(out[np.array([3, 1])])
     np.testing.assert_array_equal(sub[0], want3)
     np.testing.assert_array_equal(sub[1], valid[1])
+
+
+def test_drain_reraises_recorded_sigma_failures(eng_keys):
+    """A sigma chunk failure observed by the pacing throttle must surface
+    at the next drain() (ADVICE r4: a warning alone is lost in long runs),
+    and drain must clear the record so later windows start clean."""
+    pk, sk, eng = eng_keys
+    eng._sigma_failures.append(RuntimeError("synthetic chunk death"))
+    with pytest.raises(RuntimeError, match="queued sigma chunk"):
+        eng.drain()
+    # record cleared: the next drain is clean
+    eng.drain()
