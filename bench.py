@@ -519,13 +519,15 @@ def main():
         RESULTS["mul_per_s"], warm = out
         log(f"ct_mul: {RESULTS['mul_per_s']:.2f} ops/s (warmup {warm:.1f}s) "
             f"(ref {BASE_MUL}/s -> {RESULTS['mul_per_s']/BASE_MUL:.1f}x)")
-        # batch sweep to 1024: bigger batches amortize per-dispatch overhead
-        # (shapes are per-pair, so no recompile).  Runs to 512 before
-        # settling unless the budget stops it.  >=4 reps per point: 2-rep
-        # points on a link with 400 ms RTT spikes gave non-monotonic
-        # sweeps with 26% rep spread (VERDICT r4 #3).
+        # batch sweep to 512: bigger batches amortize per-dispatch
+        # overhead (shapes are per-pair, so no recompile); 1024 measured
+        # WORSE (526 ops/s, 47.6% spread — ~1.2M edges of in-flight
+        # device sigma degrade the allocator, same retained-sigma effect
+        # as docs/session_r5b.json's 64K run).  >=4 reps per point:
+        # 2-rep points on a link with 400 ms RTT spikes gave
+        # non-monotonic sweeps with 26% rep spread (VERDICT r4 #3).
         factor = 2
-        while device_ok and not quick and factor * MUL_BATCH <= 1024:
+        while device_ok and not quick and factor * MUL_BATCH <= 512:
             remaining = BUDGET - (time.time() - T0)
             if remaining <= 90:
                 log(f"batch sweep stopped by budget at x{factor}")
