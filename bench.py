@@ -266,12 +266,17 @@ def main():
         return ENC_BATCH / (time.time() - t0)
 
     reps = [_dec_sample() for _ in range(2)]
-    RESULTS["dec_per_s"] = max(reps)
+    # host and device-routed dec live under separate history keys so the
+    # noise-proofing reference for the host phase is not dragged up by
+    # 1700+ ct/s device rows (dec_per_s stays the best-overall record)
+    RESULTS["dec_host_per_s"] = max(reps)
+    RESULTS["dec_per_s"] = RESULTS["dec_host_per_s"]
     DIAG["phases"]["dec-host"] = {
         "warmup_s": round(dec_warm, 2), "batch": ENC_BATCH,
         "ct_per_s_reps": [round(r, 1) for r in reps],
     }
-    _resample_if_regressed("dec_per_s", max, _dec_sample, "dec-host")
+    _resample_if_regressed("dec_host_per_s", max, _dec_sample, "dec-host")
+    RESULTS["dec_per_s"] = RESULTS["dec_host_per_s"]
     log(f"dec_value: {RESULTS['dec_per_s']:.1f} ct/s (host, warm {dec_warm:.1f}s)")
 
     # batch add (the one op that trailed the reference before round 4)
