@@ -556,7 +556,9 @@ def main():
         dev_cts_box = {}
 
         def run_enc_device():
-            nb = 64 if quick else 256
+            # 512 measured consistently better than 256 (1149-1205 vs
+            # ~1050 ct/s warm; docs/session_r5a/enc_warm.json)
+            nb = 64 if quick else 512
             dvals = list(range(nb))
             t0 = time.time()
             pvac.enc_value_batch(pk, sk, dvals)  # warm/compile
