@@ -452,14 +452,27 @@ def main():
         # drain, so no in-flight device work escapes the clock.
         if eng is not None:
             _sigma_fence(prods)  # compile the per-shape reducer outside reps
-        reps = []
-        for _ in range(n_reps):
+
+        def one_rep():
             t0 = time.time()
-            prods = pvac.ct_mul_batch(pk, batch_pairs)
+            p = pvac.ct_mul_batch(pk, batch_pairs)
             if eng is not None:
                 eng.drain()
-                _sigma_fence(prods)
-            reps.append(time.time() - t0)
+                _sigma_fence(p)
+            return time.time() - t0, p
+
+        reps = []
+        for _ in range(n_reps):
+            dt, prods = one_rep()
+            reps.append(dt)
+        # adaptive: RTT spikes (up to 400 ms) can blow a 2-4 rep spread
+        # past 100%; take extra reps until the spread is credible or the
+        # rep budget runs out (min-of-reps is the estimator either way)
+        extra = 0
+        while (max(reps) - min(reps)) / min(reps) > 0.30 and extra < 3:
+            dt, prods = one_rep()
+            reps.append(dt)
+            extra += 1
         per_s = len(batch_pairs) / min(reps)
         got = pvac.dec_value_batch(pk, sk, prods[:2])
         if got != mul_want:
