@@ -571,20 +571,25 @@ def main():
         def run_enc_device():
             # 512 measured consistently better than 256 (1149-1205 vs
             # ~1050 ct/s warm; docs/session_r5a/enc_warm.json)
+            eng = _engine()
             nb = 64 if quick else 512
             dvals = list(range(nb))
             t0 = time.time()
             pvac.enc_value_batch(pk, sk, dvals)  # warm/compile
+            eng.drain()
             warm = time.time() - t0
-            t0 = time.time()
-            dev_cts_box["cts"] = pvac.enc_value_batch(pk, sk, dvals)
+            reps = []
+            for _ in range(1 if quick else 3):
+                t0 = time.time()
+                dev_cts_box["cts"] = pvac.enc_value_batch(pk, sk, dvals)
+                eng.drain()  # in-flight σ counts against the window
+                reps.append(round(time.time() - t0, 3))
             dev_cts_box["vals"] = dvals
-            dt = time.time() - t0
             DIAG["phases"]["enc-device"] = {
                 "batch": nb, "warmup_s": round(warm, 2),
-                "reps_s": [round(dt, 3)],
+                "reps_s": reps,
             }
-            return nb / dt
+            return nb / min(reps)
 
         remaining = BUDGET - (time.time() - T0)
         if remaining > 120:

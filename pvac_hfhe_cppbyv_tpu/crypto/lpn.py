@@ -276,6 +276,47 @@ def cores_from_streams(u64s, top_u, s32_flat, prm):
     return _cores_tail(xp, dot, u64s, top_u, prm, rows, sw64)
 
 
+def cores_from_streams_t(words_t, top_u, s32_flat, prm):
+    """cores_from_streams for the fused-kernel-native keystream layout.
+
+    words_t: [4, B, N] u32 — plane-major keystream as produced by
+    crypto/aes_fused.py (word w of block b at [w, b, lane]).  Consuming
+    this directly keeps the lane axis minor for every VPU op and skips
+    the [N, B, 4] transpose of the materialized keystream (~135 MB of
+    HBM round trip at the PRF shape).  u64 stream index j of a lane maps
+    to lo = words_t[2*(j&1), j>>1], hi = words_t[2*(j&1)+1, j>>1].
+    Bit-exact with cores_from_streams on the transposed words.
+    """
+    xp = _xp_of(words_t)
+    Bp = words_t.shape[1]
+    N = words_t.shape[2]
+    rows = _rows_per_core(prm)
+    sw64 = prm.s_words64
+    stride = sw64 + 1
+    flat = words_t.reshape(4 * Bp, N)
+
+    j = (np.arange(rows)[:, None] * stride
+         + np.arange(sw64)[None, :]).reshape(-1)      # [rows*sw64]
+    w_lo = 2 * (j & 1)
+    blk = j >> 1
+    lo = flat[w_lo * Bp + blk].reshape(rows, sw64, N)
+    hi = flat[(w_lo + 1) * Bp + blk].reshape(rows, sw64, N)
+
+    s32 = s32_flat.reshape(sw64, 2)
+    acc = (lo & s32[None, :, 0, None]) ^ (hi & s32[None, :, 1, None])
+    while acc.shape[1] > 1:                            # xor-reduce sw64 axis
+        acc = acc[:, 0::2] ^ acc[:, 1::2]
+    dot = _parity_fold(acc[:, 0])                      # [rows, N]
+
+    jn = np.arange(rows) * stride + sw64
+    wn_lo = 2 * (jn & 1)
+    nz_lo = flat[wn_lo * Bp + (jn >> 1)]               # [rows, N]
+    nz_hi = flat[(wn_lo + 1) * Bp + (jn >> 1)]
+    e, rej = _noise_from_u64(xp, nz_lo, nz_hi, prm)
+
+    return _cores_tail2(xp, dot.T, e.T, rej.T, top_u, prm, rows)
+
+
 def cores_from_streams_tp(u64s, top_u, s32_local, prm, axis_name="tp"):
     """Tensor-parallel cores_from_streams for use inside a shard_map body.
 
@@ -316,22 +357,33 @@ def cores_from_streams_tp(u64s, top_u, s32_local, prm, axis_name="tp"):
     return _cores_tail(jnp, dot, u64s, top_u, prm, rows, sw64)
 
 
-def _cores_tail(xp, dot, u64s, top_u, prm, rows, sw64):
-    """Noise sampling, y-bit packing, Toeplitz and field map shared by the
-    replicated and tensor-parallel core paths."""
-    N = u64s.shape[0]
-    stride = sw64 + 1
-    noise_idx = np.arange(rows) * stride + sw64
-    nz = u64s[:, noise_idx, :]  # [N, rows, 2]
+def _noise_from_u64(xp, nz_lo, nz_hi, prm):
+    """Bernoulli noise bit + bounded-rejection flag from the per-row noise
+    u64 (lo, hi) halves — shared by both keystream layouts."""
     den = prm.lpn_tau_den
     num = prm.lpn_tau_num
     # bounded(den) < num with strict-< acceptance; den is a power of two in
     # all configurations, so x % den = low bits.
     assert den & (den - 1) == 0, "lpn_tau_den must be a power of two"
-    e = ((nz[..., 0] & U32(den - 1)) < U32(num)).astype(U32)
+    e = ((nz_lo & U32(den - 1)) < U32(num)).astype(U32)
     # rejection: x >= 2^64 - den  (lim = 2^64 - den; accept strictly below)
-    rej = (nz[..., 1] == U32(0xFFFFFFFF)) & (nz[..., 0] >= U32((1 << 32) - den))
+    rej = (nz_hi == U32(0xFFFFFFFF)) & (nz_lo >= U32((1 << 32) - den))
+    return e, rej
 
+
+def _cores_tail(xp, dot, u64s, top_u, prm, rows, sw64):
+    """Noise sampling, y-bit packing, Toeplitz and field map shared by the
+    replicated and tensor-parallel core paths."""
+    stride = sw64 + 1
+    noise_idx = np.arange(rows) * stride + sw64
+    nz = u64s[:, noise_idx, :]  # [N, rows, 2]
+    e, rej = _noise_from_u64(xp, nz[..., 0], nz[..., 1], prm)
+    return _cores_tail2(xp, dot, e, rej, top_u, prm, rows)
+
+
+def _cores_tail2(xp, dot, e, rej, top_u, prm, rows):
+    """y-bit packing, Toeplitz compression and field map; dot/e [N, rows]."""
+    N = dot.shape[0]
     y = dot ^ e  # [N, rows]
     # pack 127 bits -> [N, 4] uint32 (shifted bits are disjoint: XOR-fold)
     cols = []

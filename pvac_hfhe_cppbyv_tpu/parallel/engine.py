@@ -57,7 +57,8 @@ def _load_autotune() -> dict:
 
 def prf_program(prm, n_lanes: int, use_pallas: bool = False,
                 tp_axis: str | None = None, expand_on_device: bool = True,
-                derive_layout=None, aes_gn: bool = False):
+                derive_layout=None, aes_gn: bool = False,
+                aes_fused: bool = False):
     """The single-chip prf_R-core forward program (jittable, pure).
 
     (keys [n, 32] u8, nlo, nhi [n], toep_keys [n, 32] u8, tnlo, tnhi, s32
@@ -99,6 +100,15 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
         else:
             rk_packed = k_in
         rk = aesv.rk_masks_from_packed(rk_packed, n_lanes)
+        if aes_fused and nb >= 32 and n_lanes % 128 == 0:
+            # fused Pallas tile kernel: bitsliced state stays in VMEM
+            # across all 14 rounds (measured 2.5x the XLA op pipeline at
+            # the PRF shape — docs/roofline.json aes_ctr_keystream[fused]);
+            # the single-block Toeplitz stream stays on the XLA path where
+            # the kernel's G padding would be all waste.
+            from ..crypto import aes_fused as AF
+
+            return AF.aes_ctr_keystream_fused(rk, nlo, nhi, nb)
         if use_pallas:
             from ..crypto import aes_pallas
 
@@ -115,16 +125,31 @@ def prf_program(prm, n_lanes: int, use_pallas: bool = False,
         out = aesv.encrypt_planes(rk, planes)
         return aesv.planes_to_words(out, nb)
 
-    def core(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
-        words = _keystream_words(rk_packed, nlo, nhi, nblocks)  # [N, B, 4]
-        lo = words[:, :, 0::2].reshape(n_lanes, -1)
-        hi = words[:, :, 1::2].reshape(n_lanes, -1)
-        u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
+    fused_ok = aes_fused and n_lanes % 128 == 0
 
+    def core(rk_packed, nlo, nhi, trk_packed, tnlo, tnhi, s32):
         twords = _keystream_words(trk_packed, tnlo, tnhi, 1)  # [N, 1, 4]
         tlo = twords[:, :, 0::2].reshape(n_lanes, -1)
         thi = twords[:, :, 1::2].reshape(n_lanes, -1)
         top_u = jnp.stack([tlo, thi], axis=-1)  # [N, 2, 2]
+
+        if fused_ok and tp_axis is None:
+            # plane-major fused keystream consumed directly (no [N, B, 4]
+            # transpose of the ~67 MB materialized stream)
+            from ..crypto import aes_fused as AF
+
+            if expand_on_device:
+                rk_packed = jax.lax.optimization_barrier(
+                    aesv.expand_keys_packed_xp(rk_packed))
+            rk = aesv.rk_masks_from_packed(rk_packed, n_lanes)
+            words_t = AF.aes_ctr_keystream_fused_t(rk, nlo, nhi, nblocks)
+            r, rej = lpn.cores_from_streams_t(words_t, top_u, s32, prm)
+            return r, rej.any(axis=-1)
+
+        words = _keystream_words(rk_packed, nlo, nhi, nblocks)  # [N, B, 4]
+        lo = words[:, :, 0::2].reshape(n_lanes, -1)
+        hi = words[:, :, 1::2].reshape(n_lanes, -1)
+        u64s = jnp.stack([lo, hi], axis=-1)  # [N, 2*nblocks, 2]
 
         if tp_axis is None:
             r, rej = lpn.cores_from_streams(u64s, top_u, s32, prm)
@@ -221,6 +246,16 @@ class DeviceEngine:
             self.aes_gn = env_gn == "1"
         else:
             self.aes_gn = bool(tuned.get("aes_gn", False))
+        # Fused Pallas AES tile kernel (crypto/aes_fused.py): default on
+        # for accelerators (measured 2.5x the XLA op pipeline), off on CPU
+        # where Pallas TPU kernels can't run.
+        env_af = os.environ.get("PVAC_AES_FUSED")
+        if env_af is not None:
+            self.aes_fused = env_af == "1"
+        elif "aes_fused" in tuned:
+            self.aes_fused = bool(tuned["aes_fused"])
+        else:
+            self.aes_fused = self.device.platform != "cpu"
         # Device-side AES key-schedule expansion (8x less link transfer);
         # XLA:CPU compiles the in-program schedule pathologically, so CPU
         # engines keep host expansion.
@@ -410,7 +445,8 @@ class DeviceEngine:
             body = prf_program(self.prm, nloc, self.use_pallas,
                                tp_axis="tp",
                                expand_on_device=self._expand_dev,
-                               derive_layout=layout, aes_gn=self.aes_gn)
+                               derive_layout=layout, aes_gn=self.aes_gn,
+                               aes_fused=self.aes_fused)
             fn = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=specs_tp,
@@ -421,7 +457,8 @@ class DeviceEngine:
             fn = self._jit(
                 prf_program(self.prm, n_pad, self.use_pallas,
                             expand_on_device=self._expand_dev,
-                            derive_layout=layout, aes_gn=self.aes_gn),
+                            derive_layout=layout, aes_gn=self.aes_gn,
+                            aes_fused=self.aes_fused),
                 in_specs=specs_dp,
                 out_specs=(P("dp", None), P("dp")),
             )
