@@ -276,6 +276,21 @@ class DeviceEngine:
             self.use_pallas_sha = bool(tuned["use_pallas_sha"])
         else:
             self.use_pallas_sha = self.device.platform != "cpu"
+        # Fused one-hot noise kernel for σ (crypto/onehot_pallas.py):
+        # measured 1.87x the XLA compare-select-sum stage STANDALONE, but
+        # ~4% SLOWER inside the production queued σ pipeline (A/B ct_mul
+        # batch 128: 719.3 vs 687.3 ops/s) — the XLA stage's VPU work
+        # hides under the gather DMAs, and the custom call breaks that
+        # overlap.  Default OFF (reference + env/autotune hooks kept, like
+        # the retired Pallas AES of round 4); also a GSPMD-sharded mesh
+        # program could not partition the custom call anyway.
+        env_oh = os.environ.get("PVAC_PALLAS_ONEHOT")
+        if env_oh is not None:
+            self.use_pallas_onehot = env_oh == "1"
+        elif "pallas_onehot" in tuned:
+            self.use_pallas_onehot = bool(tuned["pallas_onehot"])
+        else:
+            self.use_pallas_onehot = False
         # σ gather table = H plus one all-zero row at index n_bits:
         # masked-out draws gather the zero row, so the XOR accumulation
         # needs no select.  (A round-5 experiment appended single-bit
@@ -563,11 +578,13 @@ class DeviceEngine:
         prm = self.prm
 
         pallas_sha = self.use_pallas_sha
+        pallas_onehot = self.use_pallas_onehot
 
         mw = prm.sigma_words32
 
         def run(Hx, lanes):
-            return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw)
+            return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw,
+                                          pallas_onehot)
 
         fn = self._jit(
             run,
@@ -578,7 +595,8 @@ class DeviceEngine:
         return fn
 
     @staticmethod
-    def _sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw):
+    def _sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw,
+                          pallas_onehot=False):
         # Hx = the unified gather table (see __init__): H columns, then an
         # all-zero row at index n_bits (masked-out draws land there, so the
         # XOR accumulation needs no select), then single-bit identity rows
@@ -607,10 +625,19 @@ class DeviceEngine:
         word = nvals // 32                      # [N, D]
         bit = (nvals % 32).astype(U32)
         masks = jnp.where(ntake, (U32(1) << bit).astype(U32), U32(0))
-        hit = word[:, :, None] == jnp.arange(mw, dtype=np.int32)[None, None, :]
-        contrib = jnp.where(hit, masks[:, :, None], U32(0)).sum(
-            axis=1, dtype=U32
-        )
+        if (pallas_onehot and word.shape[0] % 256 == 0 and mw % 128 == 0):
+            # fused VMEM accumulator kernel — ~2x the XLA compare-select-
+            # sum at the chunk shape (taken values are unique per edge so
+            # XOR == the sum; crypto/onehot_pallas.py)
+            from ..crypto import onehot_pallas as OH
+
+            contrib = OH.onehot_noise_words(word, masks, mw)
+        else:
+            hit = (word[:, :, None]
+                   == jnp.arange(mw, dtype=np.int32)[None, None, :])
+            contrib = jnp.where(hit, masks[:, :, None], U32(0)).sum(
+                axis=1, dtype=U32
+            )
         return sig ^ contrib, fb1 | fb2
 
     def _sigma_compact_fn(self, n_pad: int, u_pad: int):
@@ -625,6 +652,7 @@ class DeviceEngine:
             return fn
         prm = self.prm
         pallas_sha = self.use_pallas_sha
+        pallas_onehot = self.use_pallas_onehot
         mw = prm.sigma_words32
 
         def run(Hx, canon2, ltab, buf):
@@ -649,7 +677,8 @@ class DeviceEngine:
                 ],
                 axis=1,
             )  # [E, 7, 2]
-            return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw)
+            return self._sigma_from_lanes(Hx, lanes, prm, pallas_sha, mw,
+                                          pallas_onehot)
 
         fn = self._jit(
             run,
