@@ -199,7 +199,8 @@ def render_md(out, at_file="/tmp/pvac_kernel_autotune.json"):
             f"{r['achieved_GBps']} | {r['util_compute_pct']} | "
             f"{r['util_hbm_pct']} | {binds} | {r['note']} |"
         )
-    aes_pick = ("pallas" if autotune.get("use_pallas")
+    aes_pick = ("fused" if autotune.get("aes_fused")
+                else "pallas" if autotune.get("use_pallas")
                 else ("xla-gn" if autotune.get("aes_gn") else "xla"))
     md += [
         "",
@@ -211,16 +212,26 @@ def render_md(out, at_file="/tmp/pvac_kernel_autotune.json"):
         "",
         "## Recorded kernel verdicts (measured, with artifacts)",
         "",
-        "- **Pallas AES — retired to reference-only.**  The XLA bitsliced "
-        "path is HBM-bound, not compute-bound: ~41-48% of peak HBM on the "
-        "cost model's un-fused byte estimate (fusion-boundary traffic of "
-        "the ~22k-gate circuit) vs ~5-6% of the cost-model op ceiling — "
-        "and XLA fuses the LPN contraction into it (the prf pipeline "
-        "costs only ~2-3 ms more than the bare keystream).  The per-lane "
-        "Pallas kernel cannot approach that (1024 sequential grid "
-        "programs over unaligned [16, 129] tiles) and no longer builds "
-        "under current Mosaic.  The Pallas SHA kernel, by contrast, wins "
-        "by ~35x and stays the default.",
+        "- **Fused Pallas AES tile kernel (crypto/aes_fused.py) — the "
+        "production keystream.**  Grid over (lanes/128, counter-groups/8)"
+        ", the 128 bit-plane values (one u32 vreg tile each) stay in "
+        "VMEM across all 14 rounds, ShiftRows/MixColumns are free list "
+        "re-indexing, and the plane-major output feeds "
+        "lpn.cores_from_streams_t directly (no [N, B, 4] transpose).  "
+        "Kernel-only ~2.8e9 blocks/s (~50% of the 693-op/block cost-"
+        "model ceiling) vs ~2.2e8 for the XLA op pipeline, whose round "
+        "boundaries round-trip the ~67 MB plane state through HBM each "
+        "round.  The round-4 per-LANE Pallas attempt (aes_pallas.py, "
+        "1024 sequential programs over unaligned [16, 129] tiles) "
+        "remains retired as reference-only — the tiling was the flaw, "
+        "not Pallas.",
+        "- **One-hot noise Pallas kernel (crypto/onehot_pallas.py) — "
+        "reference-only.**  1.87x the XLA compare-select-sum stage "
+        "standalone (1.23 vs 2.29 ms at the chunk shape), but ~4% "
+        "SLOWER inside the production queued mul pipeline (A/B 719.3 "
+        "vs 687.3 ops/s at batch 128): the XLA stage's VPU work hides "
+        "under the gather DMAs and the custom call breaks that "
+        "overlap.  Default off.",
         "- **AES plane layout — G-major (aes_gn) autotuned in**: N (a "
         "multiple of 128) on the VPU lane axis instead of G=129 (256-lane "
         "tile padding); +6% measured (this table, docs/session_r5b.json).",
@@ -313,10 +324,37 @@ def main():
     rows.append(row("aes_ctr_keystream[xla,gn]", t_gn, "AES blocks/s",
                     blocks, fl3, by3, PEAK_VPU_U32,
                     "G-major planes: N on the VPU lane axis"))
+
+    # fused Pallas tile kernel (crypto/aes_fused.py): grid over
+    # (lanes/128, groups/8), bitsliced state VMEM-resident across all 14
+    # rounds; measured in its production form (plane-major words_t out,
+    # no [N, B, 4] transpose — lpn.cores_from_streams_t consumes it)
+    t_fu = None
+    try:
+        from pvac_hfhe_cppbyv_tpu.crypto import aes_fused as AF
+
+        def aes_fu(rk_packed, lo, hi):
+            masks = aesv.rk_masks_from_packed(rk_packed, N)
+            return AF.aes_ctr_keystream_fused_t(masks, lo, hi, nblocks)
+
+        t_fu = bench(jax.jit(aes_fu), rk, nlo, nhi)
+        fl4, by4 = cost(aes_fu, rk, nlo, nhi)
+        rows.append(row("aes_ctr_keystream[fused]", t_fu, "AES blocks/s",
+                        blocks, fl4, by4, PEAK_VPU_U32,
+                        "Pallas tile kernel, state VMEM-resident across "
+                        "rounds, plane-major output"))
+    except Exception as e:  # noqa: BLE001
+        log(f"  fused AES unavailable: {e!r}")
     autotune["use_pallas"] = bool(t_pl is not None and t_pl < min(t_xla, t_gn))
     autotune["aes_gn"] = bool(t_gn < t_xla)
+    autotune["aes_fused"] = bool(
+        t_fu is not None and t_fu < min(t_xla, t_gn,
+                                        t_pl if t_pl is not None else 1e9))
+    # measured in the production queued pipeline, not standalone — see the
+    # recorded verdict in ROOFLINE.md (wins isolated, loses overlapped)
+    autotune["pallas_onehot"] = False
     log(f"AES winner: "
-        f"{'pallas' if autotune['use_pallas'] else ('xla-gn' if autotune['aes_gn'] else 'xla')}")
+        f"{'fused' if autotune['aes_fused'] else 'pallas' if autotune['use_pallas'] else ('xla-gn' if autotune['aes_gn'] else 'xla')}")
 
     # ------------------------------------------------------------------
     # 2. SHA-256-CTR sampler (σ draws): XLA vs Pallas
@@ -357,9 +395,13 @@ def main():
     # ------------------------------------------------------------------
     s32 = rng.integers(0, 1 << 32, 2 * prm.s_words64,
                        dtype=np.uint64).astype(np.uint32)
-    prog = jax.jit(prf_program(prm, N, autotune["use_pallas"]))
+    prog = jax.jit(prf_program(prm, N, autotune["use_pallas"],
+                               aes_gn=autotune["aes_gn"],
+                               aes_fused=autotune["aes_fused"]))
     t_prf = bench(prog, keys, nlo, nhi, keys, nlo, nhi, s32)
-    fl, by = cost(prf_program(prm, N, autotune["use_pallas"]),
+    fl, by = cost(prf_program(prm, N, autotune["use_pallas"],
+                              aes_gn=autotune["aes_gn"],
+                              aes_fused=autotune["aes_fused"]),
                   keys, nlo, nhi, keys, nlo, nhi, s32)
     rows.append(row("prf_core_pipeline", t_prf, "cores/s", N, fl, by,
                     PEAK_VPU_U32,

@@ -317,6 +317,12 @@ class DeviceEngine:
             # would misalign pairs and silently drop secret words.
             self._s32_tp = (self.tp > 1
                             and self.prm.s_words64 % self.tp == 0)
+            # the fused AES Pallas call has no GSPMD partitioning rule:
+            # allow it only where the program is single-device or a
+            # shard_map body (manual SPMD — per-device programs)
+            if (self.aes_fused and self.mesh is not None
+                    and self.mesh.size > 1 and not self._s32_tp):
+                self.aes_fused = False
             if self._s32_tp:
                 self.s32_dev = jax.device_put(
                     s32, NamedSharding(self.mesh, P("tp")))
@@ -480,7 +486,12 @@ class DeviceEngine:
         self._prf_fn_cache[key] = fn
         return fn
 
-    PRF_CHUNK = 1024
+    # Re-measured after the fused AES kernel (the r5 session-E sweep that
+    # picked 1024 predates it): PRF-only 8K-core workload 144k/161k/147k
+    # cores/s at 1024/2048/4096; end-to-end enc 2059->2197 ct/s, dec flat
+    # (3007 vs 2951, RTT noise).  2048 amortizes the ~4 ms/chunk host+link
+    # dispatch cost the 3.15 ms compiled program no longer hides.
+    PRF_CHUNK = 2048
 
     def prf_cores_async(self, keys: np.ndarray, nonces: np.ndarray,
                         toep_keys: np.ndarray, toep_nonces: np.ndarray):
