@@ -231,7 +231,8 @@ class _LayerPlan:
     choices drawn, PRF requests collected for batching."""
 
     __slots__ = ("seed", "value", "edges", "n_delta", "z2", "z3",
-                 "vstruct", "z2g", "z3g", "skel_idx", "skel_ch", "skel_inv")
+                 "vstruct", "z2g", "z3g", "arrs",
+                 "skel_idx", "skel_ch", "skel_inv")
 
     def __init__(self, pk: PubKey, value: int, depth_hint: int):
         nonce = make_nonce128()
@@ -272,6 +273,7 @@ def _draw_structure(pk: PubKey, plan: _LayerPlan) -> None:
     chs = [csprng_u64() & 1 for _ in range(S)]
     rs = [F.rand_fp_nonzero() for _ in range(S - 1)]
     plan.vstruct = (idxs, chs, rs)
+    plan.arrs = None  # scalar path keeps the tuple (oracle) representation
     skel = [(idxs[j], chs[j]) for j in range(S)]
 
     plan.z2g = []
@@ -309,20 +311,36 @@ def _draw_structure(pk: PubKey, plan: _LayerPlan) -> None:
     plan.skel_inv = inv.astype(np.int64)
 
 
-def _rand_fp_nonzero_batch(m: int) -> list[int]:
-    """m uniform nonzero field elements, drawn in bulk (one getrandom call
-    per round instead of 2 syscalls per element).  Same per-element
-    distribution as F.rand_fp_nonzero (core/types.hpp:145-155)."""
-    out: list[int] = []
-    while len(out) < m:
-        need = m - len(out)
-        lo = csprng_u64_array(need)
-        hi = csprng_u64_array(need) & np.uint64((1 << 63) - 1)
-        for l, h in zip(lo.tolist(), hi.tolist()):
-            x = (h << 64) | l  # < 2^127; canon maps P itself to 0 (rejected)
-            if x != 0 and x != F.P:
-                out.append(x)
+def _rand_fp_nonzero_rows(m: int) -> np.ndarray:
+    """m uniform nonzero field elements as [m, 4] uint32 limb rows, drawn
+    and packed fully vectorized (no Python bigints — building ints from
+    the numpy draws and converting them back to limbs cost ~30 ms per
+    warm 512-value batch).  Same per-element distribution as
+    F.rand_fp_nonzero (core/types.hpp:145-155): x = hi<<64 | lo with
+    hi < 2^63, rejecting 0 and P."""
+    out = np.empty((m, 4), dtype=U32)
+    pending = np.arange(m)
+    M32 = np.uint64(0xFFFFFFFF)
+    while pending.size:
+        k = pending.size
+        lo = csprng_u64_array(k)
+        hi = csprng_u64_array(k) & np.uint64((1 << 63) - 1)
+        bad = ((lo == 0) & (hi == 0)) | (
+            (lo == np.uint64(0xFFFFFFFFFFFFFFFF))
+            & (hi == np.uint64((1 << 63) - 1))
+        )
+        out[pending, 0] = (lo & M32).astype(U32)
+        out[pending, 1] = (lo >> np.uint64(32)).astype(U32)
+        out[pending, 2] = (hi & M32).astype(U32)
+        out[pending, 3] = (hi >> np.uint64(32)).astype(U32)
+        pending = pending[bad]
     return out
+
+
+def _rand_fp_nonzero_batch(m: int) -> list[int]:
+    """m uniform nonzero field elements as Python ints (scalar-oracle
+    form of _rand_fp_nonzero_rows)."""
+    return FV.to_ints(_rand_fp_nonzero_rows(m))
 
 
 def _mod_draws(m: int, B: int) -> np.ndarray:
@@ -364,7 +382,7 @@ def _draw_structures_batch(pk: PubKey, plans: list[_LayerPlan]) -> None:
             pending = pending[~ok]
         vch = (csprng_u64_array(n * S) & np.uint64(1)).astype(np.int64) \
             .reshape(n, S)
-        vrs = _rand_fp_nonzero_batch(n * (S - 1))
+        vrs = _rand_fp_nonzero_rows(n * (S - 1)).reshape(n, S - 1, 4)
 
         # --- z2 pairs: i free, j != i ---
         if z2:
@@ -376,7 +394,7 @@ def _draw_structures_batch(pk: PubKey, plans: list[_LayerPlan]) -> None:
                 bad = j2 == i2
             s2a = (csprng_u64_array(n * z2) & np.uint64(1)).astype(np.int64) \
                 .reshape(n, z2)
-            r2 = _rand_fp_nonzero_batch(n * z2)
+            r2 = _rand_fp_nonzero_rows(n * z2).reshape(n, z2, 4)
         # --- z3 triples: i free, j != i, k not in {i, j} ---
         if z3:
             i3 = _mod_draws(n * z3, B).reshape(n, z3)
@@ -392,39 +410,56 @@ def _draw_structures_batch(pk: PubKey, plans: list[_LayerPlan]) -> None:
                 bad = (k3 == i3) | (k3 == j3)
             s3a = (csprng_u64_array(3 * n * z3) & np.uint64(1)) \
                 .astype(np.int64).reshape(n, z3, 3)
-            ab3 = _rand_fp_nonzero_batch(2 * n * z3)
+            ab3 = _rand_fp_nonzero_rows(2 * n * z3).reshape(n, z3, 2, 4)
+
+        # --- vectorized (idx, ch) skeleton + duplicate merge across the
+        # whole group: per-plan np.unique was ~17 ms/1024 plans of pure
+        # call overhead; one global unique with plan-offset keys is ~1 ms
+        # and yields identical per-plan (sorted) merge tables ---
+        cols_i = [vidx]
+        cols_c = [vch]
+        if z2:
+            cols_i.append(np.stack([i2, j2], axis=2).reshape(n, 2 * z2))
+            cols_c.append(np.stack([s2a, s2a ^ 1], axis=2).reshape(n, 2 * z2))
+        if z3:
+            cols_i.append(np.stack([i3, j3, k3], axis=2).reshape(n, 3 * z3))
+            cols_c.append(s3a.reshape(n, 3 * z3))
+        skel_i_all = np.concatenate(cols_i, axis=1)  # [n, E]
+        skel_c_all = np.concatenate(cols_c, axis=1)
+        Epp = skel_i_all.shape[1]
+        span = 2 * B
+        gkey = (skel_i_all * 2 + skel_c_all
+                + (np.arange(n, dtype=np.int64) * span)[:, None])
+        uniq, inv = np.unique(gkey.reshape(-1), return_inverse=True)
+        owner_starts = np.searchsorted(uniq // span, np.arange(n + 1))
+        inv2 = inv.reshape(n, Epp)
 
         for s, t in enumerate(ids):
             plan = plans[t]
-            idxs = vidx[s].tolist()
-            chs = vch[s].tolist()
-            plan.vstruct = (idxs, chs,
-                            vrs[s * (S - 1):(s + 1) * (S - 1)])
-            skel_i = idxs[:]
-            skel_c = chs[:]
-            plan.z2g = []
-            for g in range(z2):
-                s1 = int(s2a[s, g])
-                plan.z2g.append((int(i2[s, g]), int(j2[s, g]), s1, s1 ^ 1,
-                                 r2[s * z2 + g]))
-                skel_i += [int(i2[s, g]), int(j2[s, g])]
-                skel_c += [s1, s1 ^ 1]
-            plan.z3g = []
-            for g in range(z3):
-                sg = s3a[s, g]
-                plan.z3g.append((
-                    int(i3[s, g]), int(j3[s, g]), int(k3[s, g]),
-                    int(sg[0]), int(sg[1]), int(sg[2]),
-                    ab3[2 * (s * z3 + g)], ab3[2 * (s * z3 + g) + 1],
-                ))
-                skel_i += [int(i3[s, g]), int(j3[s, g]), int(k3[s, g])]
-                skel_c += [int(sg[0]), int(sg[1]), int(sg[2])]
-            key = (np.asarray(skel_i, dtype=np.int64) * 2
-                   + np.asarray(skel_c, dtype=np.int64))
-            uniq, inv = np.unique(key, return_inverse=True)
-            plan.skel_idx = (uniq // 2).astype(np.int32)
-            plan.skel_ch = (uniq & 1).astype(np.int8)
-            plan.skel_inv = inv.astype(np.int64)
+            # tuple forms stay unset on the vectorized path; the weights
+            # stage reads plan.arrs (the scalar oracle _draw_structure
+            # still fills tuples, and the weights batch falls back to
+            # them when arrs is None)
+            plan.vstruct = None
+            plan.z2g = None
+            plan.z3g = None
+            plan.arrs = {
+                "vidx": vidx[s], "vch": vch[s], "vrs": vrs[s],
+                "i2": i2[s] if z2 else None,
+                "j2": j2[s] if z2 else None,
+                "s2a": s2a[s] if z2 else None,
+                "r2": r2[s] if z2 else None,
+                "i3": i3[s] if z3 else None,
+                "j3": j3[s] if z3 else None,
+                "k3": k3[s] if z3 else None,
+                "s3a": s3a[s] if z3 else None,
+                "ab3": ab3[s] if z3 else None,
+            }
+            lo_, hi_ = owner_starts[s], owner_starts[s + 1]
+            u = uniq[lo_:hi_] - s * span
+            plan.skel_idx = (u // 2).astype(np.int32)
+            plan.skel_ch = (u & 1).astype(np.int8)
+            plan.skel_inv = (inv2[s] - lo_).astype(np.int64)
 
 
 def _weights_from_cores(pk: PubKey, plan: _LayerPlan, cores: list[int]) -> list[int]:
@@ -531,11 +566,20 @@ def _weights_from_cores_batch(pk: PubKey, plans: list[_LayerPlan],
 
         # ---- value edges (8 per layer) ----
         S = 8
-        idxs = np.asarray([plans[t].vstruct[0] for t in ids], dtype=np.int64)
-        chs = np.asarray([plans[t].vstruct[1] for t in ids], dtype=np.int64)
-        rs_free = FV.from_ints(
-            [r for t in ids for r in plans[t].vstruct[2]]
-        ).reshape(G, S - 1, 4)
+        fast = plans[ids[0]].arrs is not None
+        if fast:
+            A = [plans[t].arrs for t in ids]
+            idxs = np.stack([a["vidx"] for a in A])
+            chs = np.stack([a["vch"] for a in A])
+            rs_free = np.stack([a["vrs"] for a in A])      # [G, S-1, 4]
+        else:
+            idxs = np.asarray([plans[t].vstruct[0] for t in ids],
+                              dtype=np.int64)
+            chs = np.asarray([plans[t].vstruct[1] for t in ids],
+                             dtype=np.int64)
+            rs_free = FV.from_ints(
+                [r for t in ids for r in plans[t].vstruct[2]]
+            ).reshape(G, S - 1, 4)
         values = FV.from_ints([plans[t].value for t in ids])  # [G, 4]
 
         terms = FV.mul(rs_free, gp[idxs[:, : S - 1]])
@@ -561,13 +605,22 @@ def _weights_from_cores_batch(pk: PubKey, plans: list[_LayerPlan],
                 Delta = np.zeros((G, 1, 4), dtype=U32)
 
         if z2:
-            z2g = [plans[t].z2g for t in ids]
-            I2 = np.asarray([[g[0] for g in row] for row in z2g], dtype=np.int64)
-            J2 = np.asarray([[g[1] for g in row] for row in z2g], dtype=np.int64)
-            S1 = np.asarray([[g[2] for g in row] for row in z2g], dtype=np.int64)
-            ri = FV.from_ints(
-                [g[4] for row in z2g for g in row]
-            ).reshape(G, z2, 4)
+            if fast:
+                I2 = np.stack([a["i2"] for a in A])
+                J2 = np.stack([a["j2"] for a in A])
+                S1 = np.stack([a["s2a"] for a in A])
+                ri = np.stack([a["r2"] for a in A])        # [G, z2, 4]
+            else:
+                z2g = [plans[t].z2g for t in ids]
+                I2 = np.asarray([[g[0] for g in row] for row in z2g],
+                                dtype=np.int64)
+                J2 = np.asarray([[g[1] for g in row] for row in z2g],
+                                dtype=np.int64)
+                S1 = np.asarray([[g[2] for g in row] for row in z2g],
+                                dtype=np.int64)
+                ri = FV.from_ints(
+                    [g[4] for row in z2g for g in row]
+                ).reshape(G, z2, 4)
             D2 = Delta[:, :z2]
             Dp = FV.select(S1 == SGN_P, D2, FV.neg(D2))
             rj = FV.mul(FV.sub(FV.mul(ri, gp[I2]), Dp), gp[(Bmod - J2) % Bmod])
@@ -576,15 +629,32 @@ def _weights_from_cores_batch(pk: PubKey, plans: list[_LayerPlan],
             )
 
         if z3:
-            z3g = [plans[t].z3g for t in ids]
-            I3 = np.asarray([[g[0] for g in row] for row in z3g], dtype=np.int64)
-            J3 = np.asarray([[g[1] for g in row] for row in z3g], dtype=np.int64)
-            K3 = np.asarray([[g[2] for g in row] for row in z3g], dtype=np.int64)
-            s1 = np.asarray([[g[3] for g in row] for row in z3g], dtype=np.int64)
-            s2 = np.asarray([[g[4] for g in row] for row in z3g], dtype=np.int64)
-            s3 = np.asarray([[g[5] for g in row] for row in z3g], dtype=np.int64)
-            a3 = FV.from_ints([g[6] for row in z3g for g in row]).reshape(G, z3, 4)
-            b3 = FV.from_ints([g[7] for row in z3g for g in row]).reshape(G, z3, 4)
+            if fast:
+                I3 = np.stack([a["i3"] for a in A])
+                J3 = np.stack([a["j3"] for a in A])
+                K3 = np.stack([a["k3"] for a in A])
+                sall = np.stack([a["s3a"] for a in A])     # [G, z3, 3]
+                s1, s2, s3 = sall[..., 0], sall[..., 1], sall[..., 2]
+                abr = np.stack([a["ab3"] for a in A])      # [G, z3, 2, 4]
+                a3, b3 = abr[:, :, 0], abr[:, :, 1]
+            else:
+                z3g = [plans[t].z3g for t in ids]
+                I3 = np.asarray([[g[0] for g in row] for row in z3g],
+                                dtype=np.int64)
+                J3 = np.asarray([[g[1] for g in row] for row in z3g],
+                                dtype=np.int64)
+                K3 = np.asarray([[g[2] for g in row] for row in z3g],
+                                dtype=np.int64)
+                s1 = np.asarray([[g[3] for g in row] for row in z3g],
+                                dtype=np.int64)
+                s2 = np.asarray([[g[4] for g in row] for row in z3g],
+                                dtype=np.int64)
+                s3 = np.asarray([[g[5] for g in row] for row in z3g],
+                                dtype=np.int64)
+                a3 = FV.from_ints(
+                    [g[6] for row in z3g for g in row]).reshape(G, z3, 4)
+                b3 = FV.from_ints(
+                    [g[7] for row in z3g for g in row]).reshape(G, z3, 4)
             t1 = FV.mul(a3, gp[I3])
             t1 = FV.select(s1 == SGN_P, t1, FV.neg(t1))
             t2 = FV.mul(b3, gp[J3])
